@@ -103,6 +103,8 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
     # convertTimestamp: epoch seconds (+fraction) -> instant. We compute
     # integral microseconds to avoid float drift on the fractional part.
     sec_frac = ts_raw.str.split(".", n=1, expand=True)
+    # all-reject batches yield fewer than 2 split columns
+    sec_frac = sec_frac.reindex(columns=[0, 1])
     with pd.option_context("mode.chained_assignment", None):
         secs = pd.to_numeric(sec_frac[0], errors="coerce")
         frac = sec_frac[1].fillna("0").str.pad(6, side="right", fillchar="0").str.slice(0, 6)

@@ -1,0 +1,140 @@
+"""The end-to-end DAG: read → decode+parse → enrich → route → write →
+aggregate. SURVEY.md §7.1; replaces the reference's 11-stage threaded
+load (§3.1) with one declarative plan per chunk plus a summary job.
+
+Stage fusion: scan → parse UDF → enrichment joins → routing projection
+all pipeline inside one shuffle-free stage per task (the parse UDF is
+an Arrow exchange inside the stage; broadcast joins add no shuffle).
+The only wide operations are the final clustered write shuffle and the
+aggregate groupBys — minimal shuffle count by construction.
+
+Per-row invariant: ``tokens`` (and doc_id/n_tok/source) pass through
+untouched into every sink row — token-array equality, tested.
+"""
+
+from __future__ import annotations
+
+import math
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logparser_spark.functions.classify import category_expr
+from logparser_spark.functions.parse import with_parsed
+from logparser_spark.operators import aggregates as agg
+from logparser_spark.operators.enrich import enrich, load_dims
+from logparser_spark.plans.checkpoint import Manifest
+from logparser_spark.sources.sequences import read_raw_sequences
+from logparser_spark.sources.sinks import MultiSinkWriter, read_sink
+
+
+def build_routed(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """raw sequences -> parsed + enriched + categorized rows."""
+    parsed = with_parsed(raw)  # adds parse struct cols + time
+    enriched = enrich(parsed, load_dims(spark))
+    return enriched.withColumn(
+        "category",
+        category_expr(F.col("valid"), F.coalesce(F.col("action"), F.lit("")), F.col("status_code")),
+    )
+
+
+def _chunk_files(files: list[str], n_chunks: int) -> list[list[str]]:
+    if n_chunks <= 1:
+        return [files]
+    per = math.ceil(len(files) / n_chunks)
+    return [files[i : i + per] for i in range(0, len(files), per)]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    n_chunks: int = 1,
+    salt_buckets: int = 8,
+    fail_after_chunk: int | None = None,
+) -> dict:
+    """Chunked, resumable parse→route load. Returns run metrics.
+
+    ``fail_after_chunk`` is a test hook simulating a crash between a
+    chunk's sink commit and nothing else (the manifest records it, so
+    resume continues with the next chunk).
+    """
+    import glob as _glob
+    import os as _os
+
+    manifest = Manifest(out_root)
+    writer = MultiSinkWriter(out_root, salt_buckets=salt_buckets)
+    done = manifest.completed_chunks()
+
+    files = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    chunks = _chunk_files(files, n_chunks)
+
+    total_rows = 0
+    t_all = _time.monotonic()
+    for i, chunk_files in enumerate(chunks):
+        chunk_id = f"chunk-{i:05d}"
+        if chunk_id in done:
+            continue
+        # roll back any partial output of a crashed previous attempt
+        writer.remove_chunk(chunk_id)
+
+        t0 = _time.monotonic()
+        raw = read_raw_sequences(spark, chunk_files)
+        routed = build_routed(spark, raw)
+        writer.write_chunk(routed, chunk_id)
+
+        # per-category counts from the just-written files (cheap:
+        # parquet footer row counts, no data scan of the payload)
+        import os
+
+        cat_counts = {
+            r["category"]: r["n"]
+            for r in spark.read.option("basePath", os.path.join(out_root, "data"))
+            .parquet(os.path.join(out_root, "data"))
+            .filter(F.input_file_name().contains(chunk_id))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = sum(cat_counts.values())
+        total_rows += rows
+        dt = _time.monotonic() - t0
+        manifest.commit_chunk(
+            {
+                "chunk_id": chunk_id,
+                "input_files": chunk_files,
+                "rows": rows,
+                "rows_per_category": cat_counts,
+                "wall_sec": round(dt, 3),
+                "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
+            }
+        )
+        if fail_after_chunk is not None and i >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after {chunk_id}")
+
+    return {
+        "chunks": len(chunks),
+        "rows_this_run": total_rows,
+        "wall_sec": round(_time.monotonic() - t_all, 3),
+    }
+
+
+def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
+    """The post-load aggregate stage (C2/C3 analog): summary tables
+    computed from the routed sinks and written under <root>/summary/."""
+    import os
+
+    df = read_sink(spark, out_root)
+    results = {
+        "agg_sink_totals": agg.sink_totals(df),
+        "agg_status_hist": agg.status_hist(df),
+        "agg_hourly_hist": agg.hourly_hist(df),
+        "top_urls": agg.top_urls(df),
+        "top_users": agg.top_users(df),
+    }
+    for name, res in results.items():
+        res.write.mode("overwrite").parquet(os.path.join(out_root, "summary", name))
+    return results

@@ -1,0 +1,101 @@
+"""Partition-pruned multi-sink writer with atomic per-chunk publish.
+
+Reference analog: the UNLOGGED-staging + atomic-RENAME publish
+(DatabaseManager.java:255-332) — readers never observe partial data.
+Here each chunk is written to a private staging directory, then its
+files are renamed into the final partition tree (one atomic rename per
+file, unique chunk-prefixed names), and only then is the chunk recorded
+in the checkpoint manifest. A crash mid-chunk leaves only staging
+garbage that the next run overwrites.
+
+Sink layout (one logical table, five logical sinks):
+
+    <root>/data/category=<c>/day=<yyyy-MM-dd>/<chunk>-part-*.parquet
+
+Routing by ``category`` is a *partition column*, so "one sink table per
+category" is realized as partition subtrees: a single write pass fans
+out all sinks (no per-sink re-scan), and readers of one sink get
+partition pruning for free. On a real cluster this maps 1:1 to an
+Iceberg table partitioned by (category, days(time)) with snapshot
+commits replacing the rename step.
+
+Skew: rows are pre-shuffled by (category, day, salt) where
+salt = pmod(xxhash64(doc_id), S) — the hot (success, proxy-00) keys
+spread over S tasks while files still land in exactly their partition
+directory (multiple files per directory, bounded by S).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SINK_PARTITION_COLS = ["category", "day"]
+
+
+class MultiSinkWriter:
+    def __init__(self, root: str, salt_buckets: int = 8):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.staging_root = os.path.join(root, "_staging")
+        self.salt_buckets = salt_buckets
+
+    def write_chunk(self, df: DataFrame, chunk_id: str) -> int:
+        """Write one chunk of routed rows; returns rows written.
+
+        df must carry ``category`` and ``time`` columns; ``day`` is
+        derived here so the partition expression lives in one place.
+        """
+        staged = os.path.join(self.staging_root, chunk_id)
+        if os.path.exists(staged):
+            shutil.rmtree(staged)  # leftover from a crashed attempt
+
+        out = df.withColumn("day", F.date_format("time", "yyyy-MM-dd"))
+        out = out.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets))
+        )
+        # Explicit pre-shuffle: clusters rows for minimal files/partition
+        # while the salt splits hot categories across tasks.
+        out = out.repartition("category", "day", "_salt").drop("_salt")
+        out.write.mode("overwrite").partitionBy(*SINK_PARTITION_COLS).parquet(staged)
+
+        moved = self._promote(staged, chunk_id)
+        shutil.rmtree(staged, ignore_errors=True)
+        return moved
+
+    def _promote(self, staged: str, chunk_id: str) -> int:
+        """Atomically rename staged files into the final tree."""
+        n = 0
+        for src in glob.glob(os.path.join(staged, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(src, staged)
+            part_dir = os.path.dirname(rel)
+            dst_dir = os.path.join(self.data_dir, part_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{chunk_id}-{os.path.basename(src)}")
+            os.replace(src, dst)
+            n += 1
+        return n
+
+    def remove_chunk(self, chunk_id: str) -> None:
+        """Idempotent undo (re-run of a chunk that crashed mid-promote)."""
+        for f in glob.glob(
+            os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
+        ):
+            os.remove(f)
+
+
+def read_sink(
+    spark: SparkSession, root: str, category: str | None = None
+) -> DataFrame:
+    """Read the routed table; a category filter prunes to one sink's
+    partition subtree (verify with .explain → PartitionFilters)."""
+    df = spark.read.option("basePath", os.path.join(root, "data")).parquet(
+        os.path.join(root, "data")
+    )
+    if category:
+        df = df.filter(F.col("category") == category)
+    return df

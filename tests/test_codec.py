@@ -1,0 +1,34 @@
+import numpy as np
+import pandas as pd
+
+from logparser_spark.codec import decode_series, decode_tokens, encode_series, encode_text
+
+
+def test_roundtrip_basic():
+    s = "1709251200.123 250 10.0.3.17 TCP_MISS/200 5120 GET http://x/ u_a_b DIRECT/1.2.3.4 text/html"
+    assert decode_tokens(encode_text(s)) == s
+
+
+def test_series_roundtrip_ascii_fastpath():
+    texts = pd.Series(["hello world", "", "a" * 100, "x y z"])
+    toks = encode_series(texts)
+    out = decode_series(toks)
+    assert list(out) == list(texts)
+
+
+def test_series_non_ascii_fallback():
+    texts = pd.Series(["héllo", "日本語", "plain"])
+    toks = encode_series(texts)
+    out = decode_series(toks)
+    assert list(out) == list(texts)
+
+
+def test_none_and_empty_arrays():
+    s = pd.Series([None, [], [65, 66]], dtype=object)
+    out = decode_series(s)
+    assert list(out) == ["", "", "AB"]
+
+
+def test_numpy_input():
+    arr = np.array([72, 105], dtype=np.int32)
+    assert decode_tokens(arr) == "Hi"

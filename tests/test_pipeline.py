@@ -1,0 +1,168 @@
+"""End-to-end pipeline correctness vs the independent oracle
+(SURVEY.md §5 invariants 1-3, 5): token-array equality per routed row,
+routed-row set equality per sink, per-sink aggregate equality, top-K
+equality with pinned tie-breaks, and kill/resume idempotence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from logparser_spark import oracle
+from logparser_spark.operators import aggregates as agg
+from logparser_spark.plans.pipeline import run_aggregates, run_pipeline, build_routed
+from logparser_spark.sources.sequences import read_raw_sequences
+from logparser_spark.sources.sinks import read_sink
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tiny_input, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    run_pipeline(spark, tiny_input, out, n_chunks=2)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_parsed(tiny_lines):
+    parsed = oracle.parse_frame(tiny_lines["line"])
+    parsed["doc_id"] = tiny_lines["doc_id"].values
+    parsed["source"] = tiny_lines["source"].values
+    return parsed
+
+
+def test_routed_row_set_equality(spark, pipeline_out, oracle_parsed):
+    got = {
+        (r.category, r.doc_id)
+        for r in read_sink(spark, pipeline_out).select("category", "doc_id").collect()
+    }
+    want = set(zip(oracle_parsed["category"], oracle_parsed["doc_id"]))
+    assert got == want
+
+
+def test_token_array_equality(spark, pipeline_out, tiny_input):
+    """Every routed row carries its original tokens byte-identical."""
+    inp = {
+        r.doc_id: r.tokens
+        for r in read_raw_sequences(spark, tiny_input).collect()
+    }
+    rows = read_sink(spark, pipeline_out).select("doc_id", "tokens", "n_tok").collect()
+    assert len(rows) == len(inp)
+    for r in rows:
+        assert r.tokens == inp[r.doc_id], r.doc_id
+        assert r.n_tok == len(r.tokens)
+
+
+def test_sink_totals_equality(spark, pipeline_out, oracle_parsed):
+    got = agg.sink_totals(read_sink(spark, pipeline_out)).toPandas()
+    want = oracle.aggregate_sinks(oracle_parsed)
+    got = got.sort_values("category").reset_index(drop=True)
+    for col in ["row_count", "error_count", "unique_ips", "bytes_total", "avg_response_time_ms"]:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_status_hist_equality(spark, pipeline_out, oracle_parsed):
+    got = (
+        agg.status_hist(read_sink(spark, pipeline_out))
+        .toPandas()
+        .sort_values(["category", "status_class"])
+        .reset_index(drop=True)
+    )
+    want = oracle.status_hist(oracle_parsed)
+    pd.testing.assert_frame_equal(
+        got.astype({"row_count": "int64"}), want.astype({"row_count": "int64"})
+    )
+
+
+def test_hourly_hist_equality(spark, pipeline_out, oracle_parsed):
+    got = (
+        agg.hourly_hist(read_sink(spark, pipeline_out))
+        .toPandas()
+        .sort_values(["category", "hour"])
+        .reset_index(drop=True)
+    )
+    want = oracle.hourly_hist(oracle_parsed)
+    assert got.shape == want.shape  # dense 24 x categories
+    pd.testing.assert_frame_equal(
+        got.astype({"hour": "int64", "row_count": "int64"}),
+        want.astype({"hour": "int64", "row_count": "int64"}),
+    )
+
+
+def test_top_urls_equality(spark, pipeline_out, oracle_parsed):
+    got = agg.top_urls(read_sink(spark, pipeline_out), k=100).toPandas()
+    want = oracle.top_urls(oracle_parsed, k=100)
+    assert list(got["url"]) == list(want["url"])
+    for col in ["request_count", "avg_response_time", "total_bytes", "last_access_us"]:
+        assert list(got[col].astype("int64")) == list(want[col].astype("int64")), col
+
+
+def test_top_urls_salted_equals_unsalted(spark, pipeline_out):
+    df = read_sink(spark, pipeline_out)
+    a = agg.top_urls(df, k=50, salted=True).toPandas()
+    b = agg.top_urls(df, k=50, salted=False).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_top_users_equality(spark, pipeline_out, oracle_parsed):
+    got = agg.top_users(read_sink(spark, pipeline_out), k=10).toPandas()
+    want = oracle.top_users(oracle_parsed, k=10)
+    assert list(got["username"]) == list(want["username"])
+    for col in ["min_ip", "request_count", "unique_ips", "avg_response_time",
+                "total_bytes", "first_seen_us", "last_seen_us"]:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_enrichment_null_handling(spark, pipeline_out):
+    """Unseen dim keys get defaults; seen keys carry dim attributes."""
+    df = read_sink(spark, pipeline_out).select("action", "action_family", "ip_class")
+    fams = {r.action: r.action_family for r in df.distinct().collect() if r.action}
+    assert fams["TCP_MISS"] == "MISS"
+    assert fams["TCP_DENIED"] == "DENIED"
+    assert fams["NONE"] == "OTHER"
+
+
+def test_quarantine_has_reject_reason(spark, pipeline_out):
+    q = read_sink(spark, pipeline_out, category="quarantine")
+    reasons = {r.reject_reason for r in q.select("reject_reason").distinct().collect()}
+    assert "regex_mismatch" in reasons
+    assert "invalid_username" in reasons
+    assert q.filter("valid = 1").count() == 0
+
+
+def test_resume_after_injected_failure(spark, tiny_input, tmp_path_factory):
+    """Kill after chunk 1 of 4, restart, final state == uninterrupted run."""
+    out_a = str(tmp_path_factory.mktemp("resume_a"))
+    out_b = str(tmp_path_factory.mktemp("resume_b"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, tiny_input, out_a, n_chunks=4, fail_after_chunk=1)
+    res = run_pipeline(spark, tiny_input, out_a, n_chunks=4)  # resume
+    assert res["chunks"] == 4
+
+    run_pipeline(spark, tiny_input, out_b, n_chunks=4)  # uninterrupted
+
+    a = {(r.doc_id, r.category) for r in read_sink(spark, out_a).select("doc_id", "category").collect()}
+    b = {(r.doc_id, r.category) for r in read_sink(spark, out_b).select("doc_id", "category").collect()}
+    assert a == b
+    # no duplicated doc_ids after resume
+    assert len(a) == read_sink(spark, out_a).count()
+
+
+def test_manifest_metrics(spark, tiny_input, tmp_path_factory):
+    from logparser_spark.plans.checkpoint import Manifest
+
+    out = str(tmp_path_factory.mktemp("metrics"))
+    run_pipeline(spark, tiny_input, out, n_chunks=2)
+    recs = Manifest(out).completed_chunks()
+    assert len(recs) == 2
+    for rec in recs.values():
+        assert rec["rows"] > 0
+        assert rec["rows_per_sec"] > 0
+        assert set(rec["rows_per_category"]) <= {"quarantine", "denied", "error", "success", "other"}
+
+
+def test_summary_tables_written(spark, pipeline_out):
+    import os
+
+    run_aggregates(spark, pipeline_out)
+    for t in ["agg_sink_totals", "agg_status_hist", "agg_hourly_hist", "top_urls", "top_users"]:
+        assert os.path.exists(os.path.join(pipeline_out, "summary", t))
