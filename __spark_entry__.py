@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: full tokenized parse→enrich→route→aggregate
+              over sf0.001-derived lines (per-category sink totals).
+``queries`` — one entry per implemented operator (SURVEY.md §2 plus
+              the training-data extensions).
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
+              approximate/hash-family ops (simhash, fingerprint,
+              ann_lsh) intentionally have no oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from logparser_spark.driver_queries import q_sink_totals
+
+    return q_sink_totals(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from logparser_spark.driver_queries import PIPELINE_QUERIES
+    from logparser_spark.driver_queries_docs import DOC_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _utc(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    out = {}
+    for name, fn in {**PIPELINE_QUERIES, **DOC_QUERIES}.items():
+        out[name] = _utc(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logparser_spark.driver_queries import PIPELINE_ORACLES
+    from logparser_spark.driver_queries_docs import DOC_ORACLES
+
+    return {**PIPELINE_ORACLES, **DOC_ORACLES}

@@ -1,0 +1,294 @@
+"""Driver-contract queries: one Spark builder + one DuckDB oracle SQL
+per implemented operator (SURVEY.md §2).
+
+The pipeline-family queries derive a deterministic Squid log line from
+the driver's ``events`` table (see linegen.py — the identical SQL
+template runs in both engines), then the Spark side round-trips the
+line through the token encoding (array<int> code points, built with
+JVM ``transform(split(...), ascii)``) and the vectorized parse UDF,
+while the DuckDB side parses the same line with regexp_extract. Every
+compared column is integer/string-typed (timestamps exported as epoch
+values, ratios as fixed-point) so value hashes are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logparser_spark.functions.classify import category_expr
+from logparser_spark.functions.parse import with_parsed
+from logparser_spark.linegen import duckdb_parsed_cte, line_expr_spark
+from logparser_spark.operators import aggregates as agg
+
+# ---------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> line -> tokens -> parse UDF -> category. The full
+    pipeline head, with event_id standing in for doc_id."""
+    ev = events(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        F.col("event_type").alias("source"),
+        F.expr(line_expr_spark()).alias("line"),
+    )
+    df = df.withColumn(
+        "tokens", F.transform(F.split("line", ""), lambda c: F.ascii(c))
+    ).drop("line")
+    df = df.withColumn("doc_id", F.col("event_id").cast("string"))
+    parsed = with_parsed(df)
+    return parsed.withColumn(
+        "category",
+        category_expr(
+            F.col("valid"), F.coalesce(F.col("action"), F.lit("")), F.col("status_code")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# pipeline-family queries (events table)
+# ---------------------------------------------------------------------
+
+
+def q_parsed_rows(spark, sf_dir):
+    """Row-grain parse + route output — the strongest equality check
+    (P1-P8, P6 routing)."""
+    return routed_events(spark, sf_dir).select(
+        "event_id",
+        "category",
+        "reject_reason",
+        "ip",
+        "username",
+        "url",
+        "domain",
+        "status_code",
+        "response_time_ms",
+        "response_size_bytes",
+        "action",
+        "epoch_us",
+    )
+
+
+def q_route_counts(spark, sf_dir):
+    return (
+        routed_events(spark, sf_dir)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .orderBy("category")
+    )
+
+
+def q_sink_totals(spark, sf_dir):
+    return agg.sink_totals(routed_events(spark, sf_dir))
+
+
+def q_status_hist(spark, sf_dir):
+    return agg.status_hist(routed_events(spark, sf_dir))
+
+
+def q_hourly_hist(spark, sf_dir):
+    return agg.hourly_hist(routed_events(spark, sf_dir)).withColumn(
+        "hour", F.col("hour").cast("int")
+    )
+
+
+def q_top_urls(spark, sf_dir):
+    return agg.top_urls(routed_events(spark, sf_dir), k=100)
+
+
+def q_top_users(spark, sf_dir):
+    return agg.top_users(routed_events(spark, sf_dir), k=10)
+
+
+def q_dim_statuses(spark, sf_dir):
+    s, _ = agg.distinct_dims(routed_events(spark, sf_dir))
+    return s
+
+
+def q_dim_actions(spark, sf_dir):
+    _, a = agg.distinct_dims(routed_events(spark, sf_dir))
+    return a
+
+
+def q_daily_rollup(spark, sf_dir):
+    df = routed_events(spark, sf_dir)
+    return (
+        df.filter(F.col("valid") == 1)
+        .groupBy(
+            "username",
+            "status_code",
+            F.date_format("time", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("request_count"))
+        .orderBy("username", "status_code", "day")
+    )
+
+
+# page filter bounds: second half of Jan 2024 (events span the month)
+_PAGE_LO = 1705276800_000000  # 2024-01-15 00:00:00 UTC in epoch_us
+_PAGE_HI = 1706054400_000000  # 2024-01-24 00:00:00 UTC
+
+
+def q_page_query(spark, sf_dir):
+    """O1 + F1/F2: dynamic conjunctive filter, ORDER BY time DESC with
+    pinned tie-break, LIMIT/OFFSET pagination."""
+    df = routed_events(spark, sf_dir)
+    return (
+        df.filter(
+            (F.col("valid") == 1)
+            & (F.col("epoch_us") >= _PAGE_LO)
+            & (F.col("epoch_us") <= _PAGE_HI)
+            & (F.col("action") == "TCP_MISS")
+        )
+        .select("event_id", "epoch_us", "ip", "username", "url", "status_code")
+        .orderBy(F.desc("epoch_us"), F.asc("event_id"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_dataset_period(spark, sf_dir):
+    return agg.dataset_period(routed_events(spark, sf_dir))
+
+
+def q_keep_latest(spark, sf_dir):
+    """O7: keep-latest-per-key via row_number window."""
+    df = routed_events(spark, sf_dir).filter(F.col("valid") == 1)
+    w = Window.partitionBy("username").orderBy(F.desc("epoch_us"), F.desc("event_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("username", "event_id", "epoch_us")
+        .orderBy("username")
+    )
+
+
+def _cte():
+    return duckdb_parsed_cte()
+
+
+_STATUS_CLASS_SQL = """
+CASE WHEN status_code >= 200 AND status_code < 300 THEN '2xx (Успех)'
+     WHEN status_code >= 300 AND status_code < 400 THEN '3xx (Перенаправление)'
+     WHEN status_code >= 400 AND status_code < 500 THEN '4xx (Ошибка клиента)'
+     WHEN status_code >= 500 THEN '5xx (Ошибка сервера)'
+     ELSE 'Другие' END
+""".strip()
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "parsed_rows": _cte()
+    + """
+SELECT event_id, category, reject_reason, ip, username, url, domain,
+       status_code, response_time_ms, response_size_bytes, action, epoch_us
+FROM parsed""",
+    "route_counts": _cte()
+    + "SELECT category, COUNT(*) AS row_count FROM parsed GROUP BY category ORDER BY category",
+    "sink_totals": _cte()
+    + f"""
+SELECT category,
+       COUNT(*) AS row_count,
+       COUNT(CASE WHEN status_code >= 400 THEN 1 END) AS error_count,
+       COUNT(DISTINCT ip) AS unique_ips,
+       COALESCE(SUM(response_size_bytes), 0) AS bytes_total,
+       COALESCE(CAST(floor(AVG(CASE WHEN response_time_ms > 0 THEN response_time_ms END) + 0.5) AS BIGINT), 0) AS avg_response_time_ms
+FROM parsed GROUP BY category ORDER BY category""",
+    "status_hist": _cte()
+    + f"""
+SELECT category, {_STATUS_CLASS_SQL} AS status_class, COUNT(*) AS row_count
+FROM parsed WHERE valid GROUP BY 1, 2 ORDER BY 1, 2""",
+    "hourly_hist": _cte()
+    + """
+, grid AS (
+  SELECT c.category, CAST(h.range AS INT) AS hour
+  FROM (SELECT DISTINCT category FROM parsed WHERE valid) c, range(24) h
+), counts AS (
+  SELECT category, CAST(hour("time") AS INT) AS hour, COUNT(*) AS cnt
+  FROM parsed WHERE valid GROUP BY 1, 2
+)
+SELECT g.category, g.hour, COALESCE(c.cnt, 0) AS row_count
+FROM grid g LEFT JOIN counts c ON g.category = c.category AND g.hour = c.hour
+ORDER BY 1, 2""",
+    "top_urls": _cte()
+    + """
+SELECT url, domain,
+       COUNT(*) AS request_count,
+       CAST(floor(AVG(response_time_ms) + 0.5) AS BIGINT) AS avg_response_time,
+       SUM(response_size_bytes) AS total_bytes,
+       MAX(epoch_us) AS last_access_us
+FROM parsed
+WHERE valid AND url IS NOT NULL AND url <> '-'
+GROUP BY url, domain
+ORDER BY request_count DESC, url ASC
+LIMIT 100""",
+    "top_users": _cte()
+    + """
+SELECT username,
+       MIN(ip) AS min_ip,
+       COUNT(*) AS request_count,
+       COUNT(DISTINCT ip) AS unique_ips,
+       CAST(floor(AVG(response_time_ms) + 0.5) AS BIGINT) AS avg_response_time,
+       SUM(response_size_bytes) AS total_bytes,
+       MIN(epoch_us) AS first_seen_us,
+       MAX(epoch_us) AS last_seen_us
+FROM parsed
+WHERE valid AND username IS NOT NULL AND username <> '-'
+GROUP BY username
+ORDER BY request_count DESC, username ASC
+LIMIT 10""",
+    "dim_statuses": _cte()
+    + "SELECT DISTINCT status_code FROM parsed WHERE status_code IS NOT NULL AND status_code > 0 ORDER BY status_code",
+    "dim_actions": _cte()
+    + "SELECT DISTINCT action FROM parsed WHERE action IS NOT NULL AND action <> '-' ORDER BY action",
+    "daily_rollup": _cte()
+    + """
+SELECT username, status_code, strftime("time", '%Y-%m-%d') AS day, COUNT(*) AS request_count
+FROM parsed WHERE valid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "page_query": _cte()
+    + f"""
+SELECT event_id, epoch_us, ip, username, url, status_code
+FROM parsed
+WHERE valid AND epoch_us >= {_PAGE_LO} AND epoch_us <= {_PAGE_HI} AND action = 'TCP_MISS'
+ORDER BY epoch_us DESC, event_id ASC
+LIMIT 50 OFFSET 100""",
+    "dataset_period": _cte()
+    + "SELECT MIN(epoch_us) AS min_time_us, MAX(epoch_us) AS max_time_us FROM parsed WHERE valid",
+    "keep_latest": _cte()
+    + """
+SELECT username, event_id, epoch_us FROM (
+  SELECT username, event_id, epoch_us,
+         row_number() OVER (PARTITION BY username ORDER BY epoch_us DESC, event_id DESC) AS rn
+  FROM parsed WHERE valid
+) WHERE rn = 1 ORDER BY username""",
+}
+
+PIPELINE_QUERIES = {
+    "parsed_rows": q_parsed_rows,
+    "route_counts": q_route_counts,
+    "sink_totals": q_sink_totals,
+    "status_hist": q_status_hist,
+    "hourly_hist": q_hourly_hist,
+    "top_urls": q_top_urls,
+    "top_users": q_top_users,
+    "dim_statuses": q_dim_statuses,
+    "dim_actions": q_dim_actions,
+    "daily_rollup": q_daily_rollup,
+    "page_query": q_page_query,
+    "dataset_period": q_dataset_period,
+    "keep_latest": q_keep_latest,
+}

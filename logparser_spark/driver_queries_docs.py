@@ -1,0 +1,178 @@
+"""Driver-contract queries over documents/embeddings — the
+training-data-pipeline operators (dedup, similarity, text analysis)
+with DuckDB oracles where SQL-expressible.
+
+Engine-portability rules used throughout: fixed-point integers instead
+of raw doubles (floor(x * 10^k)), md5 as the cross-engine content hash,
+explicitly pinned tie-breaks on every top-k / argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logparser_spark.driver_queries import documents, embeddings
+from logparser_spark.operators import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.8)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """LSH-pruned near-dup pairs; must equal the all-pairs oracle
+    (recall ~1 at j>=0.8 with r=2,b=64 — see dedup.py)."""
+    return dedup.minhash_lsh_pairs(documents(spark, sf_dir), threshold=0.8)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(documents(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_features(documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    return (
+        textstats.lang_id(documents(spark, sf_dir))
+        .select("doc_id", "lang", "predicted_lang", "best_score")
+        .orderBy("doc_id")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(documents(spark, sf_dir))
+
+
+def q_ann_brute(spark, sf_dir):
+    return similarity.brute_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+DOC_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,  # rows-only (hash family not in DuckDB)
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,  # rows-only
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,  # rows-only (approximate by design)
+}
+
+# ---------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+_JACCARD_SQL = (
+    _SHINGLE_CTE
+    + """
+SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(floor(1000.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter)) AS BIGINT) AS jaccard_x1000
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE 1.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+ORDER BY doc_a, doc_b"""
+)
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, words in textstats.LANG_STOPWORDS.items():
+        ascii_only = all(ord(c) < 128 for w in words for c in w)
+        alt = "|".join(words)
+        pat = rf"\b({alt})\b" if ascii_only else f"({alt})"
+        cols.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
+        )
+    return ", ".join(cols)
+
+
+DOC_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1""",
+    "ngram_jaccard": _JACCARD_SQL,
+    "minhash_lsh": _JACCARD_SQL,  # LSH output must equal the exact baseline
+    "text_quality": """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars_calc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|value|table|row)\\b')) AS en_stop
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars_calc,
+       CAST(floor(100.0 * alpha / n_chars_calc) AS BIGINT) AS alpha_ratio_x100,
+       CAST(floor(100.0 * punct / n_chars_calc) AS BIGINT) AS punct_ratio_x100,
+       CAST(floor(100.0 * en_stop / n_words) AS BIGINT) AS stopword_ratio_x100,
+       (n_words >= 10 AND n_words <= 1000 AND floor(100.0 * alpha / n_chars_calc) >= 50) AS is_high_quality
+FROM f ORDER BY doc_id""",
+    "token_counts": """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_pieces,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
+FROM documents ORDER BY doc_id""",
+    "lang_id": f"""
+WITH s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN score_zh > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
+            WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
+            WHEN score_de > greatest(score_en, score_es) THEN 'de'
+            WHEN score_es > score_en THEN 'es'
+            ELSE 'en' END AS predicted_lang,
+       greatest(score_en, score_es, score_de, score_fr, score_zh) AS best_score
+FROM s ORDER BY doc_id""",
+    "ann_brute": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+x AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, CAST(floor(cos * 10000) AS BIGINT) AS cosine_x10000
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM x
+) WHERE rank <= 5
+ORDER BY query_id, rank""",
+}
