@@ -176,16 +176,24 @@ def generate_lines(n: int, seed: int = SEED) -> pd.DataFrame:
 
 
 def lines_to_sequences(pdf: pd.DataFrame) -> pa.Table:
-    """Encode lines as the raw_sequences arrow table (tokens int32)."""
-    toks = [
-        np.frombuffer(s.encode("utf-32-le"), dtype=np.int32) for s in pdf["line"].tolist()
-    ]
-    n_tok = np.array([t.size for t in toks], dtype=np.int32)
+    """Encode lines as the raw_sequences arrow table (tokens int32).
+
+    Vectorized: one utf-32 encode of the concatenated corpus, then a
+    zero-copy ListArray over (offsets, codepoint values) — O(total
+    chars) with no per-row Python loop, so 10M-row bench fixtures
+    materialize in seconds.
+    """
+    lines = pdf["line"].tolist()
+    lens = np.fromiter((len(s) for s in lines), dtype=np.int32, count=len(lines))
+    offsets = np.zeros(len(lines) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = np.frombuffer("".join(lines).encode("utf-32-le"), dtype=np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
     return pa.table(
         {
             "doc_id": pa.array(pdf["doc_id"], type=pa.string()),
-            "tokens": pa.array([t.tolist() for t in toks], type=pa.list_(pa.int32())),
-            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "tokens": tokens.cast(pa.list_(pa.int32())),
+            "n_tok": pa.array(lens, type=pa.int32()),
             "source": pa.array(pdf["source"], type=pa.string()),
         }
     )

@@ -60,23 +60,32 @@ def status_hist(df: DataFrame) -> DataFrame:
 
 
 def hourly_hist(df: DataFrame) -> DataFrame:
-    """A5: dense 24-slot histogram per category.
+    """A5: dense 24-slot histogram per category — SINGLE scan.
 
-    Densification via a broadcast cross join with range(24) — the
-    reference densifies app-side into int[24]."""
-    spark = df.sparkSession
-    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
-    cats = df.filter(F.col("valid") == 1).select("category").distinct()
-    grid = cats.crossJoin(F.broadcast(hours))
+    The reference densifies app-side into int[24]
+    (StatisticsService.java:126-143). A grid-join formulation would
+    re-scan the fact to enumerate categories; instead densification
+    happens on the (category, hour) aggregate itself: collapse each
+    category's sparse counts into a map, then explode hours 0-23 against
+    it. The second groupBy shuffles only #categories x 24 rows."""
     counts = (
         df.filter(F.col("valid") == 1)
-        .groupBy("category", F.hour("time").alias("hour"))
+        .groupBy("category", F.hour("time").cast("int").alias("hour"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    dense = counts.groupBy("category").agg(
+        F.map_from_entries(F.collect_list(F.struct("hour", "cnt"))).alias("m")
+    )
     return (
-        grid.join(counts, ["category", "hour"], "left")
+        dense.select(
+            "category", "m", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+        )
         .select(
-            "category", "hour", F.coalesce(F.col("cnt"), F.lit(0)).alias("row_count")
+            "category",
+            F.col("hour").cast("int").alias("hour"),
+            F.coalesce(F.try_element_at("m", F.col("hour")), F.lit(0)).alias(
+                "row_count"
+            ),
         )
         .orderBy("category", "hour")
     )

@@ -21,8 +21,11 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 NGRAM = 3
@@ -99,20 +102,76 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, n_funcs: int = MINHASH_FUNCS) -> DataFrame:
+def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """doc_id -> array of distinct word n-gram shingles.
+
+    Shuffle-free alternative to ``shingles()`` (explode+distinct): the
+    distinct set is computed per row with array ops, so signature
+    generation below needs NO shuffle at all — it is a pure map stage.
+    """
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return w.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("sh_list"),
+    )
+
+
+def _minhash_sig_udf(n_funcs: int, seed: int = 42):
+    """Vectorized MinHash over pre-hashed shingles.
+
+    Input: array<long> of base shingle hashes (xxhash64, JVM-side —
+    exactly one JVM hash per shingle). The n_funcs-member family is
+    derived by universal hashing h_i(x) = a_i*x + b_i (mod 2^64,
+    odd a_i), computed as ONE numpy outer product per Arrow batch with
+    a segmented min-reduce — no per-row Python, no interpreted
+    higher-order functions, tiny plan.
+    """
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 2**63, size=n_funcs, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_funcs, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        n = len(lens)
+        if n == 0 or lens.sum() == 0:
+            return pd.Series([None] * n)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(
+            np.uint64
+        )
+        fam = flat[:, None] * a[None, :] + b[None, :]  # (n_shingles, n_funcs), mod 2^64
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # reduceat mishandles empty segments; mask them to None after
+        mins = np.minimum.reduceat(fam, offsets, axis=0).astype(np.int64)
+        out = list(mins)
+        for i in np.nonzero(lens == 0)[0]:
+            out[i] = None
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS) -> DataFrame:
     """doc_id -> array of n_funcs minhash values.
 
-    Hash family: xxhash64(seed_i, shingle) — one aggregation pass,
-    min() per function computed map-side (partial agg) before the
-    single shuffle on doc_id.
+    Pipeline: shingle sets are row-local arrays (no shuffle), each
+    shingle gets ONE JVM xxhash64, and the per-function mins are a
+    single numpy matrix op per Arrow batch (see _minhash_sig_udf) —
+    the whole signature stage is a pure map stage.
     """
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_funcs)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_funcs)]).alias("sig")
+    sh = shingle_arrays(docs).filter(F.size("sh_list") > 0)
+    hashed = sh.select(
+        "doc_id",
+        F.transform("sh_list", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id", _minhash_sig_udf(n_funcs)(F.col("hs")).alias("sig")
     )
 
 
@@ -129,28 +188,21 @@ def minhash_lsh_pairs(
     (1 - 0.8^2)^64 < 1e-28, so the verified output equals the all-pairs
     baseline (the DuckDB oracle) while doing ~linear work at scale.
     """
-    sh = shingles(docs).persist()
-    sig = minhash_signatures(sh, n_funcs)
+    sig = minhash_signatures(docs, n_funcs)
     n_bands = n_funcs // rows_per_band
+    # band_hash = xxhash64 over the band's slice of the signature; one
+    # nested expression, not n_bands struct literals (tiny plan).
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * rows_per_band + ri]
-                                for ri in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(n_bands)
-                ]
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
             )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band_id", "bh.band_hash")
+        ).alias("band_id", "band_hash"),
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -163,8 +215,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # exact verify on candidates only; shingle rows/sizes derived
+    # row-locally (no groupBy shuffle for sizes)
+    sh_arr = shingle_arrays(docs)
+    sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
+    sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -196,36 +251,46 @@ def minhash_lsh_pairs(
     return out
 
 
+@pandas_udf("long")
+def _simhash_udf(hs: pd.Series) -> pd.Series:
+    """Vectorized SimHash fold: per-bit +-1 majority vote over a row's
+    token hashes, packed into one signed long. One numpy bit-unpack +
+    segmented sum per Arrow batch (no per-row Python)."""
+    lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+    n = len(lens)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    if lens.sum() == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = 2 * bits - 1  # (n_tokens, 64) of +-1
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    votes = np.add.reduceat(contrib, offsets, axis=0)  # (n_docs, 64)
+    packed = (
+        ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    ).astype(np.int64)
+    packed = np.where(lens == 0, 0, packed)
+    return pd.Series(packed)
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit majority vote of token
-    hashes, computed as a sum over +-1 contributions — expressed with
-    explode + groupBy (all JVM-side), no Python.
+    """64-bit SimHash over word tokens (per-bit majority vote of token
+    xxhash64 values).
+
+    Pure map stage, no shuffle: tokens hashed once JVM-side into a
+    row-local array<long>, then the (tokens x 64) vote and bit packing
+    run as one vectorized numpy kernel per Arrow batch. (An explode +
+    64-column groupBy shuffles |tokens| rows; an interpreted
+    higher-order-function fold is ~30x slower — both rejected.)
     """
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
-    per_bit = tok.select(
+    hs = docs.select(
         "doc_id",
-        *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(bits)
-        ],
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    votes = per_bit.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(bits)]
-    )
-    fp = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63))).otherwise(F.lit(0).cast("long"))
-                for i in range(bits)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return fp.orderBy("doc_id")
+    return hs.select("doc_id", _simhash_udf("hs").alias("simhash")).orderBy("doc_id")
 
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str, tie_col: str) -> DataFrame:

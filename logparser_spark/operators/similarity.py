@@ -20,8 +20,10 @@ reproducible.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -68,22 +70,32 @@ def brute_topk(
     )
 
 
-def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> list[list[list[float]]]:
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_tables, n_bits, dim)).tolist()
+    return rng.standard_normal((n_tables, n_bits, dim))
 
 
-def lsh_bucket_expr(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id for one table: packed bits of dot-sign."""
-    bit_exprs = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in p])
-        bit = F.when(_dot(_as_double(vec_col), arr) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        bit_exprs.append(bit)
-    out = F.lit(0)
-    for b in bit_exprs:
-        out = out + b
-    return out
+def _bucket_udf(planes: np.ndarray):
+    """Vectorized sign-LSH bucketizer: one Arrow batch -> one numpy
+    matmul (batch, dim) @ (dim, tables*bits), sign bits packed per
+    table. This replaces a literal-expression formulation (tables x
+    bits x dim literals) whose plan size exploded codegen time; the
+    matmul is also the right shape at scale — O(1) Python calls per
+    batch, BLAS inside.
+    """
+    n_tables, n_bits, dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = 2 ** np.arange(n_bits, dtype=np.int64)  # bit packing
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        signs = (m.astype(np.float64) @ flat) >= 0  # (batch, T*B)
+        bits = signs.reshape(len(m), n_tables, n_bits).astype(np.int64)
+        packed = bits @ weights  # (batch, T)
+        return pd.Series(list(packed))
+
+    return buckets
 
 
 def lsh_topk(
@@ -102,17 +114,14 @@ def lsh_topk(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    bucket_udf = _bucket_udf(planes)
 
     def bucketize(df, idc, vc):
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("table_id"), lsh_bucket_expr(F.col(vc), planes[t]).alias("bucket"))
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
-            F.col(idc).alias("_id"), F.col(vc).alias("_v"), F.explode(buckets).alias("tb")
-        ).select("_id", "_v", "tb.table_id", "tb.bucket")
+            F.col(idc).alias("_id"),
+            F.col(vc).alias("_v"),
+            F.posexplode(bucket_udf(F.col(vc))).alias("table_id", "bucket"),
+        )
 
     qb = bucketize(emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col)
     cb = bucketize(emb, id_col, vec_col)
