@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from logparser_spark.driver_queries import documents, embeddings
-from logparser_spark.operators import dedup, similarity, textstats
+from logparser_spark.operators import dedup, multimodal, similarity, textstats
 
 # ---------------------------------------------------------------------
 # Spark builders
@@ -65,7 +65,28 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_media_stats(spark, sf_dir):
+    return multimodal.media_stats(
+        multimodal.attach_payload(documents(spark, sf_dir))
+    ).orderBy("doc_id")
+
+
+def q_media_decode(spark, sf_dir):
+    return multimodal.decode_media(
+        multimodal.attach_payload(documents(spark, sf_dir))
+    ).orderBy("doc_id")
+
+
+def q_frame_sample(spark, sf_dir):
+    return multimodal.sample_frames(
+        multimodal.attach_payload(documents(spark, sf_dir)), every_n=30
+    ).select("doc_id", "frame_idx").orderBy("doc_id", "frame_idx")
+
+
 DOC_QUERIES = {
+    "media_stats": q_media_stats,
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -120,7 +141,37 @@ def _lang_scores_sql() -> str:
     return ", ".join(cols)
 
 
+_MEDIA_CTE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         encode(text) AS payload,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+"""
+
 DOC_ORACLES: dict[str, str] = {
+    "media_stats": _MEDIA_CTE
+    + """
+SELECT doc_id, media_type, n_bytes, md5(text) AS content_md5,
+       ascii(text) AS first_char
+FROM m JOIN documents USING (doc_id) ORDER BY doc_id""",
+    "media_decode": _MEDIA_CTE
+    + """
+SELECT doc_id, media_type, n_bytes,
+       CASE WHEN media_type <> 'audio' THEN CAST(64 + n_bytes % 193 AS INT) END AS width,
+       CASE WHEN media_type <> 'audio' THEN CAST(64 + (n_bytes * 31) % 129 AS INT) END AS height,
+       CASE WHEN media_type <> 'image' THEN CAST(8000 + (n_bytes % 5) * 8000 AS INT) END AS sample_rate,
+       CASE WHEN media_type = 'video' THEN CAST(1 + n_bytes % 240 AS INT) END AS n_frames
+FROM m ORDER BY doc_id""",
+    "frame_sample": _MEDIA_CTE
+    + """
+SELECT doc_id, CAST(u AS INT) AS frame_idx
+FROM (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_bytes % 240 AS BIGINT), 30)) AS u
+  FROM m WHERE media_type = 'video'
+) ORDER BY doc_id, frame_idx""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1 ORDER BY 1""",

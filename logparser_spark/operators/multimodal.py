@@ -1,0 +1,226 @@
+"""Multimodal columns: image/audio/video payloads as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+kernels.
+
+This container has no image/audio libraries, so the actual
+decode-bytes step is STUBBED (``decoder='real'`` raises
+NotImplementedError with the intended Pillow/ffmpeg call spelled out);
+``decoder='fake'`` substitutes a deterministic arithmetic on the bytes
+so the Spark-side plumbing — schema, partitioning, UDF signature,
+Arrow batch shape — is real and value-tested end-to-end (the fake
+semantics are reproducible in the DuckDB oracle).
+
+Scale design:
+- payloads never leave the executor: every kernel is mapInPandas over
+  the partition's Arrow batches; only small typed metadata columns come
+  back (column pruning drops the blob as soon as it is consumed).
+- batch memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+  x max payload size; for real media, repartition by size classes first
+  so one batch of 4K videos doesn't OOM an executor.
+- feature rows are ~100 bytes: the downstream shuffle (dedup by
+  content hash, groupBy media_type) is tiny relative to the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents table:
+    the utf-8 bytes of ``text`` stand in for a real blob column (at
+    production scale this is the Iceberg table's binary column; the
+    lineage downstream is identical). media_type cycles by doc_id."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Cheap per-blob stats without decoding — all JVM-side: byte
+    length, content hash (md5 hex, engine-portable), leading codepoint
+    (the 'magic number' sniff stand-in for utf-8 payloads)."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.md5("payload").alias("content_md5"),
+        F.ascii(F.col("payload").cast("string")).alias("first_char"),
+    )
+
+
+def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for the decode step: dimensions derived
+    arithmetically from n_bytes. Reproducible in ANSI SQL, so the full
+    mapInPandas path is value-checked against the DuckDB oracle."""
+    n = pdf["n_bytes"].to_numpy(dtype=np.int64)
+    mt = pdf["media_type"]
+    width = (64 + (n % 193)).astype(np.int32)
+    height = (64 + ((n * 31) % 129)).astype(np.int32)
+    sample_rate = (8000 + (n % 5) * 8000).astype(np.int32)
+    n_frames = (1 + (n % 240)).astype(np.int32)
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": mt,
+            "n_bytes": pdf["n_bytes"],
+            "width": pd.array(np.where(mt != "audio", width, None), dtype="Int32"),
+            "height": pd.array(np.where(mt != "audio", height, None), dtype="Int32"),
+            "sample_rate": pd.array(
+                np.where(mt != "image", sample_rate, None), dtype="Int32"
+            ),
+            "n_frames": pd.array(np.where(mt == "video", n_frames, None), dtype="Int32"),
+        }
+    )
+    return out
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """mapInPandas decode: binary payload -> typed metadata row.
+
+    ``decoder='real'`` is the production slot (Pillow ``Image.open``
+    for images, ``soundfile``/``ffprobe`` for audio/video) — not
+    available in this container, so it raises; 'fake' keeps identical
+    plumbing with deterministic output.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real decoder needs Pillow/soundfile/ffprobe, absent in "
+                    "this container; swap _fake_decode for "
+                    "PIL.Image.open(io.BytesIO(payload)).size etc."
+                )
+            yield _fake_decode(pdf)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, decoder: str = "fake"
+) -> DataFrame:
+    """Resize kernel: image payload -> fixed-size thumbnail payload.
+
+    The fake path emits a deterministic byte string (md5-derived seed,
+    target_w*target_h bytes capped at 256) with the real signature:
+    binary in, binary out, metadata preserved.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("thumb", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError("PIL.Image.resize slot; see module doc")
+            size = min(target_w * target_h, 256)
+            thumbs = [
+                bytes((np.frombuffer(b, dtype=np.uint8)[:size].tolist() * size)[:size])
+                if len(b)
+                else b""
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 30, decoder: str = "fake") -> DataFrame:
+    """Frame-sampling kernel for video payloads: one output row per
+    sampled frame (row-expanding mapInPandas — the output batch is
+    larger than the input batch, which only mapInPandas can express).
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_md5", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError("ffmpeg frame-extract slot; see module doc")
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            fake = _fake_decode(pdf)
+            for doc_id, nf, payload in zip(
+                fake["doc_id"], fake["n_frames"], pdf["payload"]
+            ):
+                for idx in range(0, int(nf), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_md5"].append(
+                        hashlib.md5(payload + idx.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                    "frame_md5": rows["frame_md5"],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=out_schema
+    )

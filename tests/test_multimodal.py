@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: binary payloads + typed metadata through
+mapInPandas kernels (decode stubbed deterministically — the Spark-side
+schema/batch mechanics are the subject under test)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "hello world"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "x"),
+            (4, "lorem ipsum dolor sit amet consectetur"),
+            (5, "a b c d e f g"),
+        ],
+        "doc_id long, text string",
+    )
+    return mm.attach_payload(docs)
+
+
+def test_attach_payload_schema_and_bytes(media):
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "audio"
+    assert rows[2]["media_type"] == "video"
+    assert bytes(rows[1]["payload"]) == b"hello world"
+    assert rows[1]["n_bytes"] == 11
+
+
+def test_media_stats_matches_hashlib(media):
+    got = {r["doc_id"]: r for r in mm.media_stats(media).collect()}
+    assert got[2]["content_md5"] == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+    assert got[3]["n_bytes"] == 1
+    assert got[0]["first_char"] == ord("a")
+
+
+def test_decode_media_fake_dims(media):
+    out = {r["doc_id"]: r for r in mm.decode_media(media).collect()}
+    # image: dims present, audio-only fields null
+    img = out[0]  # n_bytes = 22
+    assert (img["width"], img["height"]) == (64 + 22 % 193, 64 + (22 * 31) % 129)
+    assert img["sample_rate"] is None and img["n_frames"] is None
+    # audio: no dims, sample_rate present
+    aud = out[1]
+    assert aud["width"] is None and aud["height"] is None
+    assert aud["sample_rate"] == 8000 + (11 % 5) * 8000
+    # video: everything present
+    vid = out[2]  # n_bytes = 43
+    assert vid["n_frames"] == 1 + 43 % 240
+    assert mm.decode_media(media).schema == mm.DECODED_SCHEMA
+
+
+def test_decode_media_real_is_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        mm.decode_media(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    with pytest.raises(ValueError):
+        mm.decode_media(media, decoder="bogus")
+
+
+def test_resize_images_only_images_fixed_size(media):
+    out = mm.resize_images(media, target_w=4, target_h=4).collect()
+    # doc_ids 0 and 3 are images
+    assert sorted(r["doc_id"] for r in out) == [0, 3]
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(bytes(r["thumb"])) == 16
+
+
+def test_sample_frames_row_expansion(media):
+    out = mm.sample_frames(media, every_n=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # videos are doc_ids 2 (43 bytes -> 44 frames) and 5 (13 bytes -> 14 frames)
+    assert sorted(by_doc) == [2, 5]
+    assert sorted(by_doc[2]) == list(range(0, 44, 10))
+    assert sorted(by_doc[5]) == list(range(0, 14, 10))
+    # frame hashes deterministic
+    md5s = {(r["doc_id"], r["frame_idx"]): r["frame_md5"] for r in out}
+    assert md5s[(5, 0)] == hashlib.md5(
+        b"a b c d e f g" + (0).to_bytes(4, "little")
+    ).hexdigest()
+
+
+def test_payload_pruned_from_decode_scan(media):
+    """Column pruning: decode output never materializes the payload
+    column downstream — the plan after selecting metadata only must not
+    carry the blob."""
+    out = mm.decode_media(media).select("doc_id", "width")
+    assert "payload" not in out.columns
