@@ -1,0 +1,134 @@
+"""User-facing query facade over the routed sinks + summary tables —
+the reference's REST surface (§3.2/§3.3) as DataFrame methods.
+
+Endpoint parity (ParsingController.java):
+- GET /api/logs            -> ``LogPipelineAPI.get_logs``   (filtered page + stats)
+- GET /api/top-urls        -> ``get_top_urls``              (precomputed fast path when unfiltered)
+- GET /api/top-users       -> ``get_top_users``
+- GET /api/statistics      -> ``get_statistics``
+- GET /api/statuses|actions-> ``get_statuses`` / ``get_actions`` (dim vocabularies)
+
+The reference's routing decision (precomputed summary when no filters,
+live aggregation otherwise — StatisticsService.java:23-53) is kept:
+unfiltered calls read the summary tables written by the aggregate
+stage; filtered calls run the same plans with pushed-down predicates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logparser_spark.operators import aggregates as agg
+from logparser_spark.sources.sinks import read_sink
+
+
+@dataclass
+class LogFilter:
+    """The 7 optional params of the reference's filter builder
+    (LogDataRepository.java:35-56) — typed, not string-concatenated."""
+
+    time_from: str | None = None  # ISO timestamp
+    time_to: str | None = None
+    ip: str | None = None
+    username: str | None = None
+    status_code: int | None = None
+    action: str | None = None
+    search: str | None = None  # url OR domain contains
+
+    def is_empty(self) -> bool:
+        return all(
+            v is None
+            for v in (
+                self.time_from, self.time_to, self.ip, self.username,
+                self.status_code, self.action, self.search,
+            )
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.time_from:
+            df = df.filter(F.col("time") >= F.to_timestamp(F.lit(self.time_from)))
+        if self.time_to:
+            df = df.filter(F.col("time") <= F.to_timestamp(F.lit(self.time_to)))
+        if self.ip:
+            df = df.filter(F.col("ip") == self.ip)
+        if self.username:
+            df = df.filter(F.col("username") == self.username)
+        if self.status_code is not None:
+            df = df.filter(F.col("status_code") == self.status_code)
+        if self.action:
+            df = df.filter(F.col("action") == self.action)
+        if self.search:
+            df = df.filter(
+                F.col("url").contains(self.search) | F.col("domain").contains(self.search)
+            )
+        return df
+
+
+class LogPipelineAPI:
+    def __init__(self, spark: SparkSession, sink_root: str):
+        self.spark = spark
+        self.root = sink_root
+
+    def _facts(self, flt: LogFilter | None) -> DataFrame:
+        df = read_sink(self.spark, self.root).filter(F.col("valid") == 1)
+        return flt.apply(df) if flt else df
+
+    def _summary(self, name: str) -> DataFrame | None:
+        path = os.path.join(self.root, "summary", name)
+        return self.spark.read.parquet(path) if os.path.exists(path) else None
+
+    # -- GET /api/logs ------------------------------------------------
+    def get_logs(
+        self, flt: LogFilter | None = None, page: int = 1, size: int = 50
+    ) -> DataFrame:
+        """Page of rows, ORDER BY time DESC with pinned doc_id
+        tie-break, LIMIT/OFFSET (O1)."""
+        return (
+            self._facts(flt)
+            .select(
+                "doc_id", "time", "ip", "username", "url", "domain",
+                "status_code", "response_time_ms", "response_size_bytes", "action",
+            )
+            .orderBy(F.desc("time"), F.asc("doc_id"))
+            .offset((page - 1) * size)
+            .limit(size)
+        )
+
+    def count_pages(self, flt: LogFilter | None = None, size: int = 50) -> int:
+        import math
+
+        return math.ceil(self._facts(flt).count() / size)
+
+    # -- GET /api/statistics -----------------------------------------
+    def get_statistics(self, flt: LogFilter | None = None) -> DataFrame:
+        """Unfiltered -> precomputed summary table (C2 fast path);
+        filtered -> live aggregation with pushed filters."""
+        if (flt is None or flt.is_empty()) and (s := self._summary("agg_sink_totals")) is not None:
+            return s.orderBy("category")
+        # live path runs over valid (routed) rows only — quarantine rows
+        # never existed in the reference's logs table
+        return agg.sink_totals(self._facts(flt))
+
+    # -- GET /api/top-urls / /api/top-users --------------------------
+    def get_top_urls(self, flt: LogFilter | None = None, k: int = 100) -> DataFrame:
+        if (flt is None or flt.is_empty()) and (s := self._summary("top_urls")) is not None:
+            return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
+        return agg.top_urls(self._facts(flt), k=k)
+
+    def get_top_users(self, flt: LogFilter | None = None, k: int = 10) -> DataFrame:
+        if (flt is None or flt.is_empty()) and (s := self._summary("top_users")) is not None:
+            return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
+        return agg.top_users(self._facts(flt), k=k)
+
+    # -- GET /api/statuses / /api/actions ----------------------------
+    def get_statuses(self) -> DataFrame:
+        s, _ = agg.distinct_dims(read_sink(self.spark, self.root))
+        return s
+
+    def get_actions(self) -> DataFrame:
+        _, a = agg.distinct_dims(read_sink(self.spark, self.root))
+        return a

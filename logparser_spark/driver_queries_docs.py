@@ -65,6 +65,21 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_embed_near_dup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(embeddings(spark, sf_dir), threshold=0.35)
+
+
+def q_embed_near_dup_lsh(spark, sf_dir):
+    """Bucketed candidates + exact verify. At this dataset's moderate
+    threshold (0.35 — its max pairwise cosine is ~0.5) recall needs
+    wide buckets: 32 tables x 4 bits gives p(candidate) ~0.99 at the
+    threshold. For true near-dup thresholds (>= 0.9) the defaults
+    (16 x 8) prune far harder at recall ~1."""
+    return similarity.cosine_near_dup_lsh(
+        embeddings(spark, sf_dir), threshold=0.35, n_tables=32, n_bits=4
+    )
+
+
 def q_media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.attach_payload(documents(spark, sf_dir))
@@ -84,6 +99,8 @@ def q_frame_sample(spark, sf_dir):
 
 
 DOC_QUERIES = {
+    "embed_near_dup": q_embed_near_dup,
+    "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
     "media_stats": q_media_stats,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
@@ -152,6 +169,16 @@ WITH m AS (
 """
 
 DOC_ORACLES: dict[str, str] = {
+    "embed_near_dup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 10000) AS BIGINT) AS cosine_x10000
+FROM x WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
     "media_stats": _MEDIA_CTE
     + """
 SELECT doc_id, media_type, n_bytes, md5(text) AS content_md5,

@@ -79,19 +79,43 @@ PARSED_SCHEMA = StructType(
 )
 
 
+def _via_uniques(s: pd.Series, fn, default):
+    """Apply ``fn`` (a Series->Series vectorized transform) to the
+    UNIQUE values of ``s`` and broadcast results back through the
+    factorization codes.
+
+    Log fields are heavily repeated (Zipf urls/usernames, ~dozens of
+    actions), so per-batch uniques are orders of magnitude smaller than
+    rows: regex/string work drops from O(rows) to O(uniques) with
+    identical semantics. NaN rows (code -1) get ``default``.
+    """
+    codes, uniques = s.factorize()
+    if len(uniques) == 0:
+        return pd.Series([default] * len(s), index=s.index)
+    vals = fn(pd.Series(uniques, dtype=object)).to_numpy()
+    out = vals.take(np.clip(codes, 0, None))
+    if (codes < 0).any():
+        out = np.where(codes >= 0, out, default)
+    return pd.Series(out, index=s.index)
+
+
 def _valid_username_mask(usernames: pd.Series) -> pd.Series:
-    """LogParserUtils.isValidUsername, vectorized.
+    """LogParserUtils.isValidUsername, vectorized over unique values.
 
     The reference trims the username before validating and stores the
     trimmed value (LogFileParser.java:1063,1086) — with \\S+ capture the
     trim is a no-op, kept for fidelity.
     """
-    u = usernames.fillna("")
-    nonempty = u != ""
-    not_dash = u != "-"
-    has_user = u.str.lower().str.contains("user", regex=False)
-    two_underscores = u.str.count("_") >= 2
-    return nonempty & not_dash & (has_user | two_underscores)
+
+    def check(u: pd.Series) -> pd.Series:
+        u = u.fillna("")
+        nonempty = u != ""
+        not_dash = u != "-"
+        has_user = u.str.lower().str.contains("user", regex=False)
+        two_underscores = u.str.count("_") >= 2
+        return nonempty & not_dash & (has_user | two_underscores)
+
+    return _via_uniques(usernames, check, False).astype(bool)
 
 
 def parse_lines(lines: pd.Series) -> pd.DataFrame:
@@ -119,24 +143,34 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
 
     url = ext[7]
     # extractDomain: None for '-' / no-match -> reference stores '' via
-    # formatAsCSV's null handling of the domain slot.
-    domain = url.str.extract(DOMAIN_PATTERN)[0]
+    # formatAsCSV's null handling of the domain slot. Urls are Zipf-
+    # repeated -> regex runs once per unique url.
+    domain = _via_uniques(
+        url, lambda u: u.str.extract(DOMAIN_PATTERN)[0], None
+    )
     domain = domain.where(url.ne("-"), None).fillna("")
 
     status_str = ext[4]
     action = ext[3].fillna("")
-    # parseStatusCode fallback heuristic (LogFileParser.java:1127-1145).
+    # parseStatusCode fallback heuristic (LogFileParser.java:1127-1145);
+    # the action vocabulary is tiny -> flags computed once per unique.
     status = pd.to_numeric(status_str, errors="coerce")
-    denied = action.str.contains("DENIED", regex=False) | action.str.contains(
-        "DENY", regex=False
-    )
-    hit200 = (
-        action.str.contains("MISS", regex=False)
-        | action.str.contains("HIT", regex=False)
-        | action.str.contains("TUNNEL", regex=False)
-        | action.str.contains("REFRESH", regex=False)
-    )
-    fallback = np.where(denied, 403, np.where(hit200, 200, 0))
+
+    def fallback_of(a: pd.Series) -> pd.Series:
+        denied = a.str.contains("DENIED", regex=False) | a.str.contains(
+            "DENY", regex=False
+        )
+        hit200 = (
+            a.str.contains("MISS", regex=False)
+            | a.str.contains("HIT", regex=False)
+            | a.str.contains("TUNNEL", regex=False)
+            | a.str.contains("REFRESH", regex=False)
+        )
+        return pd.Series(
+            np.where(denied, 403, np.where(hit200, 200, 0)), index=a.index
+        )
+
+    fallback = _via_uniques(action, fallback_of, 0).to_numpy()
     status = status.fillna(pd.Series(fallback, index=status.index)).astype("Int64")
 
     reason = pd.Series(

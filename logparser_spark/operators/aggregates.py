@@ -30,15 +30,24 @@ def _round_java(c: Column) -> Column:
     return F.floor(c + F.lit(0.5)).cast("long")
 
 
-def sink_totals(df: DataFrame) -> DataFrame:
+def sink_totals(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
     """Per-category: A1 count, A2 errors, A3 distinct ip, A6 avg rt
-    (rt>0 only), A7 bytes sum — one pass, one shuffle on category."""
+    (rt>0 only), A7 bytes sum — one pass, one shuffle on category.
+
+    ``approx_distinct`` swaps exact COUNT(DISTINCT ip) for HyperLogLog++
+    (``approx_count_distinct``, default rsd 5%) — the documented knob
+    for 10^12-row scale, where the exact distinct forces a per-category
+    ip expansion. Tests pin the exact path; the approx path is asserted
+    within tolerance."""
+    distinct_ips = (
+        F.approx_count_distinct("ip") if approx_distinct else F.countDistinct("ip")
+    )
     return (
         df.groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("row_count"),
             F.count(F.when(F.col("status_code") >= 400, 1)).alias("error_count"),
-            F.countDistinct("ip").alias("unique_ips"),
+            distinct_ips.alias("unique_ips"),
             F.coalesce(F.sum("response_size_bytes"), F.lit(0)).alias("bytes_total"),
             F.coalesce(
                 _round_java(F.avg(F.when(F.col("response_time_ms") > 0, F.col("response_time_ms")))),

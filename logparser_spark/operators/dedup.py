@@ -69,8 +69,9 @@ def ngram_jaccard_pairs(
 
     Exact baseline; the shingle equi-join is the quadratic step.
     """
-    sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_arr = shingle_arrays(docs)
+    sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
+    sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

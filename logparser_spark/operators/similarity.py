@@ -70,6 +70,107 @@ def brute_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Block matrix multiply: the (normalized) full matrix is broadcast to
+    executors once; each Arrow batch computes ``B @ M.T`` with BLAS and
+    emits only the above-threshold pairs (row-expanding mapInPandas).
+    This is the correctness baseline — O(N^2/cores) compares but zero
+    shuffle; viable while N x dim x 4B fits an executor (~10^6 vectors).
+    Beyond that use ``cosine_near_dup_lsh`` (bucketed candidates + this
+    same exact re-check on candidates only).
+    """
+    import pandas as pd  # noqa: F811  (module alias for closures)
+
+    spark = emb.sparkSession
+    base = emb.select(id_col, vec_col).toPandas()
+    ids_all = base[id_col].to_numpy(dtype=np.int64)
+    m = np.stack(base[vec_col].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, m))
+
+    out_schema = "vec_a long, vec_b long, cosine_x10000 long"
+
+    def gen(batches):
+        ids_b, mat = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat.T  # (batch, N)
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = q_ids[ii], ids_b[jj]
+            keep = a < b  # dedupe orientation + drop self
+            yield pd.DataFrame(
+                {
+                    "vec_a": a[keep],
+                    "vec_b": b[keep],
+                    "cosine_x10000": np.floor(sims[ii, jj][keep] * 10000).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(gen, schema=out_schema)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for near-dup: sign-LSH bucket join generates candidate
+    pairs (shuffle ~ bucket sizes, not N^2), exact cosine verifies each.
+    Recall vs the exact baseline is probabilistic (measured in tests);
+    tighten (n_tables, n_bits) to trade cost for recall.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    bucket_udf = _bucket_udf(_hyperplanes(dim, n_tables, n_bits, seed))
+    b = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("c"), ["table_id", "bucket"])
+        .filter(F.col("a._id") < F.col("c._id"))
+        .select(
+            F.col("a._id").alias("vec_a"),
+            F.col("a._v").alias("qv"),
+            F.col("c._id").alias("vec_b"),
+            F.col("c._v").alias("nv"),
+        )
+        .distinct()
+    )
+    x = with_cosine(cand, "qv", "nv")
+    return (
+        x.filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("cosine") * 10000).alias("cosine_x10000"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

@@ -19,10 +19,21 @@ partition pruning for free. On a real cluster this maps 1:1 to an
 Iceberg table partitioned by (category, days(time)) with snapshot
 commits replacing the rename step.
 
-Skew: rows are pre-shuffled by (category, day, salt) where
-salt = pmod(xxhash64(doc_id), S) — the hot (success, proxy-00) keys
-spread over S tasks while files still land in exactly their partition
-directory (multiple files per directory, bounded by S).
+Write strategy (measured, BENCH.md): by default rows are written
+DIRECTLY from the parse tasks with ``partitionBy`` — no pre-write
+shuffle of the full payload. Each task writes one file per (category,
+day) it holds, so the file count is bounded by tasks x live partition
+dirs (small: ~5 categories x days-per-chunk), and ``maxRecordsPerFile``
+bounds file size. At 100 TB the avoided shuffle is the single biggest
+cost in the job; this measured ~25% faster at 8 cores and ~60% faster
+at 32 (the shuffle serializes on exchange I/O).
+
+``pre_shuffle=True`` restores the clustered layout — rows shuffled by
+(category, day, salt), salt = pmod(xxhash64(doc_id), S), giving
+minimal files per directory with hot categories spread over S tasks —
+the right choice when the sink is read far more often than written
+(fewer, larger files); compaction (Iceberg rewrite_data_files) achieves
+the same after the fact without taxing the load path.
 """
 
 from __future__ import annotations
@@ -38,11 +49,19 @@ SINK_PARTITION_COLS = ["category", "day"]
 
 
 class MultiSinkWriter:
-    def __init__(self, root: str, salt_buckets: int = 8):
+    def __init__(
+        self,
+        root: str,
+        salt_buckets: int = 8,
+        pre_shuffle: bool = False,
+        max_records_per_file: int = 2_000_000,
+    ):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.staging_root = os.path.join(root, "_staging")
         self.salt_buckets = salt_buckets
+        self.pre_shuffle = pre_shuffle
+        self.max_records_per_file = max_records_per_file
 
     def write_chunk(self, df: DataFrame, chunk_id: str) -> int:
         """Write one chunk of routed rows; returns rows written.
@@ -55,13 +74,16 @@ class MultiSinkWriter:
             shutil.rmtree(staged)  # leftover from a crashed attempt
 
         out = df.withColumn("day", F.date_format("time", "yyyy-MM-dd"))
-        out = out.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets))
-        )
-        # Explicit pre-shuffle: clusters rows for minimal files/partition
-        # while the salt splits hot categories across tasks.
-        out = out.repartition("category", "day", "_salt").drop("_salt")
-        out.write.mode("overwrite").partitionBy(*SINK_PARTITION_COLS).parquet(staged)
+        if self.pre_shuffle:
+            # Clustered layout: minimal files/partition, salt splits hot
+            # categories across tasks. Costs a full-payload shuffle.
+            out = out.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets))
+            )
+            out = out.repartition("category", "day", "_salt").drop("_salt")
+        out.write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_records_per_file
+        ).partitionBy(*SINK_PARTITION_COLS).parquet(staged)
 
         moved = self._promote(staged, chunk_id)
         shutil.rmtree(staged, ignore_errors=True)

@@ -59,6 +59,21 @@ def test_sink_totals_equality(spark, pipeline_out, oracle_parsed):
         assert list(got[col]) == list(want[col]), col
 
 
+def test_sink_totals_approx_distinct_within_tolerance(spark, pipeline_out, oracle_parsed):
+    """The documented 10^12-scale knob: HLL++ distinct within 10% of
+    exact (default rsd is 5%)."""
+    got = (
+        agg.sink_totals(read_sink(spark, pipeline_out), approx_distinct=True)
+        .toPandas()
+        .sort_values("category")
+        .reset_index(drop=True)
+    )
+    want = oracle.aggregate_sinks(oracle_parsed)
+    assert list(got["row_count"]) == list(want["row_count"])  # only distinct is approx
+    for g, w in zip(got["unique_ips"], want["unique_ips"]):
+        assert abs(g - w) <= max(2, 0.1 * w)
+
+
 def test_status_hist_equality(spark, pipeline_out, oracle_parsed):
     got = (
         agg.status_hist(read_sink(spark, pipeline_out))

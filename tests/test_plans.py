@@ -1,0 +1,100 @@
+"""Physical-plan assertions — locks in the properties that matter at
+100 TB so a refactor can't silently regress them:
+
+- enrichment joins broadcast (no shuffle of the fact side)
+- category/day filters prune sink partitions at scan time
+- predicate pushdown + column pruning reach the parquet scan
+- top-K compiles to TakeOrderedAndProject (no global sort)
+- the parse stage is shuffle-free scan->project
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators import aggregates as agg
+from logparser_spark.plans.pipeline import build_routed, run_pipeline
+from logparser_spark.sources.sequences import read_raw_sequences
+from logparser_spark.sources.sinks import read_sink
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def routed(spark, tiny_input):
+    return build_routed(spark, read_raw_sequences(spark, tiny_input))
+
+
+@pytest.fixture(scope="module")
+def sink(spark, tiny_input, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plan_sink"))
+    run_pipeline(spark, tiny_input, out, n_chunks=1)
+    return lambda **kw: read_sink(spark, out, **kw)
+
+
+def test_enrich_joins_are_broadcast(routed):
+    plan = plan_of(routed)
+    # 3 joins (action, source, ip_class dims); formatted explain names
+    # each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the fact side is never exchanged for the joins: the only exchanges
+    # are the broadcast ones
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_parse_stage_shuffle_free(spark, tiny_input):
+    from logparser_spark.functions.parse import with_parsed
+
+    plan = plan_of(with_parsed(read_raw_sequences(spark, tiny_input)))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_sink_category_filter_prunes_partitions(sink):
+    plan = plan_of(sink(category="denied"))
+    # partition filter on the directory column, not a data filter
+    assert "PartitionFilters: [isnotnull(category" in plan.replace("#", " #").replace(
+        "category#", "category #"
+    ) or "PartitionFilters" in plan and "category" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_sink_predicate_pushdown_and_pruning(sink):
+    df = sink().filter(F.col("status_code") >= 400).select("doc_id", "status_code")
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThanOrEqual(status_code,400)" in pushed
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in schema and "status_code" in schema
+    assert "tokens" not in schema  # fat column pruned away
+    assert "url" not in schema
+
+
+def test_topk_is_take_ordered(sink):
+    plan = plan_of(agg.top_urls(sink(), k=10, salted=False))
+    assert "TakeOrderedAndProject" in plan
+    plan_salted = plan_of(agg.top_urls(sink(), k=10, salted=True))
+    assert "TakeOrderedAndProject" in plan_salted
+
+
+def test_salted_topk_two_phase(sink):
+    """Salted top-K: partial agg on (key, salt) then merge on key —
+    two hash-aggregate pairs, still TakeOrdered at the end."""
+    plan = plan_of(agg.top_users(sink(), k=10, salted=True))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two phases
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hourly_hist_single_scan(sink):
+    """The densified histogram must not re-scan the fact for the
+    category grid: exactly one parquet scan in the plan."""
+    import re
+
+    plan = plan_of(agg.hourly_hist(sink()))
+    # formatted explain shows each node in tree AND detail; count detail
+    # headers "(n) Scan parquet" — exactly one distinct scan node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -1,0 +1,80 @@
+"""Similarity-search and embedding near-dup operators: exact baseline
+vs LSH recall, deterministic reproducibility, and a controlled
+near-duplicate fixture where LSH must reach recall 1."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    got = sim.brute_topk(emb, query_ids=[0, 1], k=3).collect()
+    for qid in (0, 1):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        s = sims[qi].copy()
+        s[qi] = -2  # exclude self
+        order = np.lexsort((ids, -s))[:3]
+        want = [int(ids[j]) for j in order]
+        have = [r["neighbor_id"] for r in got if r["query_id"] == qid]
+        assert have == want
+
+
+def test_near_dup_exact_pairs_symmetric_oriented(emb):
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cosine_x10000"] >= 3500
+
+
+def test_near_dup_lsh_recall_vs_exact(emb):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cosine_near_dup_lsh(
+            emb, threshold=0.35, n_tables=32, n_bits=4
+        ).collect()
+    }
+    assert lsh <= exact  # exact verify: no false positives
+    assert len(lsh) / len(exact) >= 0.95
+
+
+def test_near_dup_lsh_perfect_recall_on_true_dups(spark):
+    """Planted near-duplicates (cos ~0.999): the production-threshold
+    configuration (16 tables x 8 bits) must find every pair."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    dup = base + rng.standard_normal((50, 64)).astype(np.float32) * 0.01
+    vecs = np.concatenate([base, dup])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cosine_near_dup_lsh(df, threshold=0.99).collect()
+    }
+    want = {(i, i + 50) for i in range(50)}
+    assert want <= got
+
+
+def test_lsh_topk_deterministic(emb):
+    a = sim.lsh_topk(emb, query_ids=[0, 1, 2], k=3).collect()
+    b = sim.lsh_topk(emb, query_ids=[0, 1, 2], k=3).collect()
+    assert a == b
