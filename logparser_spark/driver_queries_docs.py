@@ -80,6 +80,14 @@ def q_embed_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    return dedup.simhash_near_dup_pairs(documents(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
 def q_media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.attach_payload(documents(spark, sf_dir))
@@ -101,6 +109,8 @@ def q_frame_sample(spark, sf_dir):
 DOC_QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
+    "simhash_near_dup": q_simhash_near_dup,  # rows-only (hash family not in DuckDB)
+    "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
     "media_stats": q_media_stats,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,

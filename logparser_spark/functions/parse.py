@@ -118,10 +118,33 @@ def _valid_username_mask(usernames: pd.Series) -> pd.Series:
     return _via_uniques(usernames, check, False).astype(bool)
 
 
+RT_MAX = "2147483647"  # Integer.MAX_VALUE
+BYTES_MAX = "9223372036854775807"  # Long.MAX_VALUE
+# epoch seconds bound such that secs*1e6 + 999999 fits int64 (our
+# TimestampType carrier). The reference (Instant.ofEpochSecond) accepts
+# up to ~year 10^9; rejecting beyond year ~294246 is a documented,
+# semantics-free deviation.
+SECS_MAX = "9223372036853"
+
+
+def _exceeds(s: pd.Series, bound: str) -> pd.Series:
+    """Exact 'digit-string > bound' without numeric conversion (no
+    float imprecision, no int64 overflow): strip leading zeros, compare
+    by (length, lexicographic)."""
+    t = s.fillna("").str.lstrip("0")
+    n = t.str.len()
+    return (n > len(bound)) | ((n == len(bound)) & (t > bound))
+
+
 def parse_lines(lines: pd.Series) -> pd.DataFrame:
     """Batch-parse decoded log lines into the PARSED_SCHEMA columns."""
     ext = lines.str.extract(LOG_PATTERN)
     matched = ext[0].notna()
+
+    # Integer.parseInt(rt) / Long.parseLong(bytes) overflow throws in
+    # the reference -> row rejected (LogFileParser.java:1055,1059 under
+    # the catch at :1094). Checked exactly on the digit strings.
+    num_over = _exceeds(ext[1], RT_MAX) | _exceeds(ext[5], BYTES_MAX)
 
     ts_raw = ext[0]
     # convertTimestamp: epoch seconds (+fraction) -> instant. We compute
@@ -129,17 +152,21 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
     sec_frac = ts_raw.str.split(".", n=1, expand=True)
     # all-reject batches yield fewer than 2 split columns
     sec_frac = sec_frac.reindex(columns=[0, 1])
+    sec_ok = ~_exceeds(sec_frac[0], SECS_MAX)
     with pd.option_context("mode.chained_assignment", None):
-        secs = pd.to_numeric(sec_frac[0], errors="coerce")
+        # masked fill keeps dtype int64 (exact) — no NaN-induced float64
+        secs = pd.to_numeric(sec_frac[0].where(matched & sec_ok, "0"))
         frac = sec_frac[1].fillna("0").str.pad(6, side="right", fillchar="0").str.slice(0, 6)
-        micros = pd.to_numeric(frac, errors="coerce")
-    epoch_us = (secs * 1_000_000 + micros).astype("Int64")
-    ts_ok = matched & epoch_us.notna()
+        micros = pd.to_numeric(frac, errors="coerce").fillna(0).astype("int64")
+    epoch_us = pd.Series(
+        secs.astype("int64") * 1_000_000 + micros, index=lines.index
+    ).astype("Int64")
+    ts_ok = matched & sec_ok
 
     username = ext[8]
     uname_ok = _valid_username_mask(username)
 
-    valid = matched & ts_ok & uname_ok
+    valid = matched & ~num_over & ts_ok & uname_ok
 
     url = ext[7]
     # extractDomain: None for '-' / no-match -> reference stores '' via
@@ -173,10 +200,13 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
     fallback = _via_uniques(action, fallback_of, 0).to_numpy()
     status = status.fillna(pd.Series(fallback, index=status.index)).astype("Int64")
 
+    # Rejection precedence mirrors the reference's code order
+    # (LogFileParser.java:1049-1099): regex miss, then numeric-parse
+    # throw, then username check (:1063), then timestamp (:1072).
     reason = pd.Series(
         np.select(
-            [~matched, ~ts_ok, ~uname_ok],
-            ["regex_mismatch", "bad_timestamp", "invalid_username"],
+            [~matched, num_over, ~uname_ok, ~ts_ok],
+            ["regex_mismatch", "numeric_overflow", "invalid_username", "bad_timestamp"],
             default=None,
         ),
         index=lines.index,
@@ -191,11 +221,16 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
             "url": url.where(valid),
             "status_code": status.where(valid).astype("Int32"),
             "domain": domain.where(valid),
-            "response_time_ms": pd.to_numeric(ext[1], errors="coerce")
-            .astype("Int64")
-            .where(valid)
-            .astype("Int32"),
-            "response_size_bytes": pd.to_numeric(ext[5], errors="coerce")
+            # masked fill -> int64 parse stays exact (valid rows are
+            # bound-checked above, so the casts cannot overflow)
+            "response_time_ms": pd.Series(
+                pd.to_numeric(ext[1].where(valid, "0")), index=lines.index
+            )
+            .astype("Int32")
+            .where(valid),
+            "response_size_bytes": pd.Series(
+                pd.to_numeric(ext[5].where(valid, "0")), index=lines.index
+            )
             .astype("Int64")
             .where(valid),
             "action": action.where(valid),

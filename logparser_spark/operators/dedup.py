@@ -252,7 +252,10 @@ def minhash_lsh_pairs(
     return out
 
 
-@pandas_udf("long")
+from pyspark.sql.types import LongType
+
+
+@pandas_udf(LongType())
 def _simhash_udf(hs: pd.Series) -> pd.Series:
     """Vectorized SimHash fold: per-bit +-1 majority vote over a row's
     token hashes, packed into one signed long. One numpy bit-unpack +
@@ -292,6 +295,57 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
         F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
     return hs.select("doc_id", _simhash_udf("hs").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= k.
+
+    Pigeonhole banding: split the 64-bit signature into k+1 chunks —
+    any pair within hamming k agrees EXACTLY on >= 1 chunk, so the
+    candidate join is an equi-join on (chunk_id, chunk_value) buckets
+    (shuffle ~ bucket sizes, recall exactly 1 by construction), then
+    candidates are verified with a real popcount. No N^2 anywhere.
+    """
+    n_chunks = max_hamming + 1
+    bits_per = 64 // n_chunks
+    sig = simhash(docs)
+
+    # chunk i = bits [i*bits_per, (i+1)*bits_per) as a small int; the
+    # remainder bits fold into the last chunk
+    def chunk_expr(i: int):
+        width = bits_per if i < n_chunks - 1 else 64 - bits_per * (n_chunks - 1)
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned("simhash", i * bits_per).bitwiseAND(
+            F.lit(mask)
+        )
+
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[chunk_expr(i) for i in range(n_chunks)])
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str, tie_col: str) -> DataFrame:

@@ -171,6 +171,91 @@ def cosine_near_dup_lsh(
     )
 
 
+def _train_centroids(
+    emb: DataFrame, n_lists: int, vec_col: str, seed: int, sample: int, iters: int
+) -> np.ndarray:
+    """Deterministic spherical k-means on a seeded sample (driver-side
+    numpy — at 10^12 scale you sample anyway; centroids are tiny)."""
+    pdf = emb.select(vec_col).limit(sample).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                c[j] = v / (np.linalg.norm(v) or 1.0)
+    return c
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 10_000,
+    train_iters: int = 5,
+) -> DataFrame:
+    """IVF-flat approximate top-k: vectors partitioned into n_lists
+    Voronoi cells (spherical k-means centroids), queries probe their
+    ``n_probe`` nearest cells, exact cosine re-rank inside.
+
+    Scale shape: assignment is one numpy argmax-matmul per Arrow batch;
+    the probe join is an equi-join on list_id (shuffle ~ probed cells,
+    ~n_probe/n_lists of the data per query batch, not the full table).
+    Complements sign-LSH: IVF adapts to the data distribution, LSH is
+    data-independent.
+    """
+    cents = _train_centroids(emb, n_lists, vec_col, seed, train_sample, train_iters)
+
+    @pandas_udf("int")
+    def assign_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    data = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        assign_udf(F.col(vec_col)).alias("list_id"),
+    )
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+    cand = data.join(F.broadcast(queries), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    x = with_cosine(cand, "qv", "nv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        x.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cosine") * 10000).alias("cosine_x10000"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

@@ -63,19 +63,27 @@ class ParsedRow:
     http_method: str | None = None
 
 
+RT_MAX = 2**31 - 1  # Integer.parseInt overflow -> reject (java:1055)
+BYTES_MAX = 2**63 - 1  # Long.parseLong overflow -> reject (java:1059)
+SECS_MAX = 9223372036853  # epoch_us must fit int64 (documented deviation)
+
+
 def parse_line(line: str) -> ParsedRow:
     m = LOG_RX.match(line or "")
     if not m:
         return ParsedRow(False, "regex_mismatch")
-    ts_raw = m.group(1)
-    sec, _, frac = ts_raw.partition(".")
-    try:
-        epoch_us = int(sec) * 1_000_000 + int((frac or "0").ljust(6, "0")[:6])
-    except ValueError:
-        return ParsedRow(False, "bad_timestamp")
+    # reference code order: numeric parses throw before the username
+    # check, which precedes timestamp conversion (java:1055-1075)
+    if int(m.group(2)) > RT_MAX or int(m.group(6)) > BYTES_MAX:
+        return ParsedRow(False, "numeric_overflow")
     uname = m.group(9)
     if not valid_username(uname.strip() if uname else uname):
         return ParsedRow(False, "invalid_username")
+    ts_raw = m.group(1)
+    sec, _, frac = ts_raw.partition(".")
+    if int(sec) > SECS_MAX:
+        return ParsedRow(False, "bad_timestamp")
+    epoch_us = int(sec) * 1_000_000 + int((frac or "0").ljust(6, "0")[:6])
     action = m.group(4)
     return ParsedRow(
         True,
@@ -110,6 +118,10 @@ def parse_frame(lines: pd.Series) -> pd.DataFrame:
     """Per-row oracle over a Series of decoded lines."""
     rows = [parse_line(s) for s in lines]
     out = pd.DataFrame([r.__dict__ for r in rows], index=lines.index)
+    # None+bigint -> float64 in the DataFrame constructor loses exact
+    # integers near 2^63; rebuild from the raw Python ints
+    for c in ("epoch_us", "response_size_bytes", "response_time_ms", "status_code"):
+        out[c] = pd.array([getattr(r, c) for r in rows], dtype="Int64")
     out["category"] = [categorize(r) for r in rows]
     return out
 
