@@ -49,12 +49,18 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_lsh",
     "simhash",
+    "simhash_near_dup",
+    "embed_near_dup",
     "text_quality",
     "token_counts",
     "lang_id",
     "fingerprint",
     "ann_brute",
     "ann_lsh",
+    "ann_ivf",
+    "media_stats",
+    "media_decode",
+    "frame_sample",
 ]
 
 

@@ -51,7 +51,8 @@ def test_parse_stage_shuffle_free(spark, tiny_input):
 
     plan = plan_of(with_parsed(read_raw_sequences(spark, tiny_input)))
     assert "Exchange" not in plan
-    assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
+    # Arrow-vectorized python stage (mapInArrow), never row-at-a-time
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
 
 
