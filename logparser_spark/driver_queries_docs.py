@@ -34,7 +34,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(documents(spark, sf_dir))
+    return dedup.simhash(documents(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_quality(spark, sf_dir):

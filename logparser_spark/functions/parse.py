@@ -316,21 +316,36 @@ def _parsed_to_arrow_arrays(parsed: pd.DataFrame):
 def with_parsed(df, tokens_col: str = "tokens", from_text: str | None = None):
     """Attach parsed columns + a proper TimestampType ``time`` column.
 
-    Tokens path: ``mapInArrow`` — the batch's list<int32> column is
-    decoded zero-copy (flat values buffer + offsets), input columns
-    (including the fat ``tokens`` payload) pass through untouched as
-    arrow buffers, and only the parse itself runs in pandas.
+    Architecture note (measured both ways, BENCH history): the scalar
+    pandas UDF sends ONLY the tokens column to the Python worker and
+    zips the parsed struct back within the stage — the fat payload
+    never round-trips through the Arrow socket, which beats a
+    ``mapInArrow`` full-batch formulation by ~2x on the write-heavy
+    pipeline (mapInArrow must ship every column out AND back; see
+    ``parse_tokens_map_in_arrow`` for that variant, right when no
+    passthrough columns are needed downstream). The decode inside the
+    UDF is one concatenate + one utf-32 decode (codec.decode_series).
 
     The UDF returns epoch microseconds; the cast to timestamp happens
     JVM-side so Catalyst sees a native TimestampType column (prunable,
     comparable, pushdown-friendly).
     """
-    if from_text:
-        df = df.withColumn("_p", parse_text_udf(F.col(from_text)))
-        parsed_cols = [F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_SCHEMA.fields]
-        df = df.select("*", *parsed_cols).drop("_p")
-        return df.withColumn("time", F.timestamp_micros(F.col("epoch_us")))
+    udf_col = (
+        parse_text_udf(F.col(from_text))
+        if from_text
+        else parse_tokens_udf(F.col(tokens_col))
+    )
+    df = df.withColumn("_p", udf_col)
+    parsed_cols = [F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_SCHEMA.fields]
+    df = df.select("*", *parsed_cols).drop("_p")
+    return df.withColumn("time", F.timestamp_micros(F.col("epoch_us")))
 
+
+def parse_tokens_map_in_arrow(df, tokens_col: str = "tokens"):
+    """mapInArrow variant: zero-copy ListArray decode, full-batch
+    passthrough. Only preferable when the downstream plan does NOT
+    carry the payload (the batch rides out AND back through the Arrow
+    socket — ~2x slower than the pandas-UDF zip when it does)."""
     import pyarrow as pa
 
     out_schema = _arrow_schema_with_parsed(df)

@@ -294,7 +294,9 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
         "doc_id",
         F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    return hs.select("doc_id", _simhash_udf("hs").alias("simhash")).orderBy("doc_id")
+    # unordered on purpose: consumers that join on the signature
+    # (simhash_near_dup_pairs) must not inherit a useless sort
+    return hs.select("doc_id", _simhash_udf("hs").alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
