@@ -217,7 +217,12 @@ def minhash_lsh_pairs(
     )
 
     # exact verify on candidates only; shingle rows/sizes derived
-    # row-locally (no groupBy shuffle for sizes)
+    # row-locally (no groupBy shuffle for sizes). Join strategy is left
+    # to AQE: runtime stats convert these to broadcast joins when the
+    # candidate side is small (an explicit broadcast() here measured
+    # SLOWER — it forces an eager blocking materialization of the
+    # banding subplan, and would be wrong on dup-heavy corpora where
+    # candidates aren't small).
     sh_arr = shingle_arrays(docs)
     sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
     sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
