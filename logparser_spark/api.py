@@ -106,22 +106,30 @@ class LogPipelineAPI:
     # -- GET /api/statistics -----------------------------------------
     def get_statistics(self, flt: LogFilter | None = None) -> DataFrame:
         """Unfiltered -> precomputed summary table (C2 fast path);
-        filtered -> live aggregation with pushed filters."""
+        filtered -> live aggregation with pushed filters.
+
+        Both paths cover the same universe — valid (routed) rows only:
+        quarantine rows never existed in the reference's logs table, so
+        the fast path drops the summary's quarantine category to stay
+        consistent with any filtered call."""
         if (flt is None or flt.is_empty()) and (s := self._summary("agg_sink_totals")) is not None:
-            return s.orderBy("category")
-        # live path runs over valid (routed) rows only — quarantine rows
-        # never existed in the reference's logs table
+            return s.filter(F.col("category") != "quarantine").orderBy("category")
         return agg.sink_totals(self._facts(flt))
 
     # -- GET /api/top-urls / /api/top-users --------------------------
+    # fast path only when the precomputed table can actually satisfy k
+    # (summaries hold top-100/top-10; a larger k falls back to live)
+
     def get_top_urls(self, flt: LogFilter | None = None, k: int = 100) -> DataFrame:
         if (flt is None or flt.is_empty()) and (s := self._summary("top_urls")) is not None:
-            return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
+            if s.count() >= k:
+                return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
         return agg.top_urls(self._facts(flt), k=k)
 
     def get_top_users(self, flt: LogFilter | None = None, k: int = 10) -> DataFrame:
         if (flt is None or flt.is_empty()) and (s := self._summary("top_users")) is not None:
-            return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
+            if s.count() >= k:
+                return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
         return agg.top_users(self._facts(flt), k=k)
 
     # -- GET /api/statuses / /api/actions ----------------------------

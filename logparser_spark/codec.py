@@ -27,8 +27,17 @@ def encode_text(text: str) -> list[int]:
 
 
 def decode_tokens(tokens) -> str:
-    """Token array -> text. Accepts list/ndarray."""
-    return "".join(chr(int(t)) for t in tokens)
+    """Token array -> text. Accepts list/ndarray. Permissive: code
+    points outside chr()'s range (corrupt int32s) become U+FFFD so one
+    bad row quarantines at parse time instead of crashing the stage."""
+
+    def ch(t) -> str:
+        try:
+            return chr(int(t))
+        except (ValueError, OverflowError):
+            return "�"
+
+    return "".join(ch(t) for t in tokens)
 
 
 def decode_series(tokens: pd.Series) -> pd.Series:
@@ -55,7 +64,7 @@ def decode_series(tokens: pd.Series) -> pd.Series:
         u4 = flat.view(np.uint32) if flat.dtype.itemsize == 4 else flat.astype("<u4")
         s = u4.tobytes().decode("utf-32-le")
         out = [s[offsets[i] : offsets[i + 1]] for i in range(len(vals))]
-    except (UnicodeDecodeError, TypeError):
+    except (UnicodeDecodeError, TypeError, ValueError):
         out = [
             decode_tokens(flat[offsets[i] : offsets[i + 1]]) for i in range(len(vals))
         ]

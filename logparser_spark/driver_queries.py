@@ -168,12 +168,12 @@ def q_dataset_period(spark, sf_dir):
 
 
 def q_keep_latest(spark, sf_dir):
-    """O7: keep-latest-per-key via row_number window."""
+    """O7: keep-latest-per-key (the library operator, not a reimpl)."""
+    from logparser_spark.operators.dedup import keep_latest
+
     df = routed_events(spark, sf_dir).filter(F.col("valid") == 1)
-    w = Window.partitionBy("username").orderBy(F.desc("epoch_us"), F.desc("event_id"))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        keep_latest(df, ["username"], "epoch_us", "event_id")
         .select("username", "event_id", "epoch_us")
         .orderBy("username")
     )

@@ -274,9 +274,10 @@ def _decode_list_array(col) -> list[str]:
     try:
         s = flat.astype("<u4").tobytes().decode("utf-32-le")
         out = [s[off[i] - base : off[i + 1] - base] for i in range(len(off) - 1)]
-    except UnicodeDecodeError:
-        # invalid code points (surrogates etc.) — per-row chr fallback,
-        # matching the legacy decoder's permissiveness
+    except (UnicodeDecodeError, ValueError):
+        # invalid code points (surrogates, corrupt int32s) — per-row
+        # permissive fallback (bad tokens become U+FFFD -> the row
+        # quarantines at parse time instead of crashing the stage)
         from logparser_spark.codec import decode_tokens
 
         out = [

@@ -47,19 +47,48 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
-    """Distinct word n-gram shingles per doc — all JVM-side array ops."""
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
-        ).alias("shingle"),
+def _exact_jaccard_pairs(
+    docs: DataFrame, threshold: float, cand: DataFrame | None
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold (doc_a < doc_b): all pairs
+    when ``cand`` is None, else restricted to the candidate (doc_a,
+    doc_b) pairs. Shared by the brute baseline and the LSH verify so
+    the math/tie-break lives once. Join strategy is left to AQE:
+    runtime stats convert to broadcast joins when a side is small (an
+    explicit broadcast() of the candidate subplan measured SLOWER — it
+    forces an eager blocking materialization — and would be wrong on
+    dup-heavy corpora where candidates aren't small)."""
+    sh_arr = shingle_arrays(docs)
+    sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
+    sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if cand is None:
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            cand.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard_x1000", F.floor(F.lit(1000.0) * F.col("inter") / union_sz))
+        .filter(F.col("inter") / union_sz >= F.lit(threshold))
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000")
+        .orderBy("doc_a", "doc_b")
     )
-    return sh.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -67,58 +96,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (doc_a < doc_b).
 
-    Exact baseline; the shingle equi-join is the quadratic step.
+    Exact baseline; the shingle self-equi-join is the quadratic step —
+    run at test scale or as the verify on LSH candidates only.
     """
-    sh_arr = shingle_arrays(docs)
-    sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
-    sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard_x1000",
-            F.floor(
-                F.lit(1000.0)
-                * F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ),
-        )
-        .filter(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            >= F.lit(threshold)
-        )
-    )
-    return out.select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000").orderBy(
-        "doc_a", "doc_b"
-    )
+    return _exact_jaccard_pairs(docs, threshold, cand=None)
 
 
 def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:
-    """doc_id -> array of distinct word n-gram shingles.
+    """doc_id -> array of distinct word n-gram shingles (empty array
+    for docs shorter than n words).
 
-    Shuffle-free alternative to ``shingles()`` (explode+distinct): the
-    distinct set is computed per row with array ops, so signature
-    generation below needs NO shuffle at all — it is a pure map stage.
+    The distinct set is computed per row with array ops (no
+    explode+distinct shuffle), so signature generation below needs NO
+    shuffle at all — it is a pure map stage. The short-doc branch must
+    be explicit: ``sequence(0, size-n)`` with size < n would DESCEND
+    (Spark sequence reverses when start > stop) and feed slice() an
+    invalid 0 index.
     """
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     return w.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
-        ).alias("sh_list"),
+        F.when(
+            F.size("w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh_list"),
     )
 
 
@@ -138,21 +146,26 @@ def _minhash_sig_udf(n_funcs: int, seed: int = 42):
 
     @pandas_udf("array<long>")
     def sig(hs: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in hs), dtype=np.int64, count=len(hs)
+        )
         n = len(lens)
         if n == 0 or lens.sum() == 0:
             return pd.Series([None] * n)
-        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(
-            np.uint64
-        )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x, m in zip(hs, lens) if m]
+        ).astype(np.uint64)
         fam = flat[:, None] * a[None, :] + b[None, :]  # (n_shingles, n_funcs), mod 2^64
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        # reduceat mishandles empty segments; mask them to None after
-        mins = np.minimum.reduceat(fam, offsets, axis=0).astype(np.int64)
-        out = list(mins)
-        for i in np.nonzero(lens == 0)[0]:
-            out[i] = None
+        # reduceat over the starts of NONEMPTY segments only (an empty
+        # trailing segment would index past the end of fam); empty rows
+        # get None. Nonempty segments are contiguous in flat, so their
+        # starts are exactly the reduceat boundaries.
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+        mins_nz = np.minimum.reduceat(fam, starts, axis=0).astype(np.int64)
+        out: list = [None] * n
+        for j, i in enumerate(np.nonzero(nz)[0]):
+            out[i] = mins_nz[j]
         return pd.Series(out)
 
     return sig
@@ -216,45 +229,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on candidates only; shingle rows/sizes derived
-    # row-locally (no groupBy shuffle for sizes). Join strategy is left
-    # to AQE: runtime stats convert these to broadcast joins when the
-    # candidate side is small (an explicit broadcast() here measured
-    # SLOWER — it forces an eager blocking materialization of the
-    # banding subplan, and would be wrong on dup-heavy corpora where
-    # candidates aren't small).
-    sh_arr = shingle_arrays(docs)
-    sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
-    sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard_x1000",
-            F.floor(
-                F.lit(1000.0)
-                * F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ),
-        )
-        .filter(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            >= F.lit(threshold)
-        )
-        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000")
-        .orderBy("doc_a", "doc_b")
-    )
-    return out
+    # exact verify on candidates only (same math/tie-break as the
+    # all-pairs baseline — shared helper)
+    return _exact_jaccard_pairs(docs, threshold, cand=cand)
 
 
 from pyspark.sql.types import LongType
@@ -264,24 +241,34 @@ from pyspark.sql.types import LongType
 def _simhash_udf(hs: pd.Series) -> pd.Series:
     """Vectorized SimHash fold: per-bit +-1 majority vote over a row's
     token hashes, packed into one signed long. One numpy bit-unpack +
-    segmented sum per Arrow batch (no per-row Python)."""
-    lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+    segmented sum per Arrow batch (no per-row Python). Null/empty token
+    arrays hash to 0."""
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in hs), dtype=np.int64, count=len(hs)
+    )
     n = len(lens)
     if n == 0:
         return pd.Series([], dtype="int64")
     if lens.sum() == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(np.uint64)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x, m in zip(hs, lens) if m]
+    ).astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
     bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
     contrib = 2 * bits - 1  # (n_tokens, 64) of +-1
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    votes = np.add.reduceat(contrib, offsets, axis=0)  # (n_docs, 64)
-    packed = (
-        ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    # reduceat over nonempty-segment starts only (a trailing empty
+    # segment would index past the end of contrib)
+    nz = lens > 0
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+    votes_nz = np.add.reduceat(contrib, starts, axis=0)  # (nonempty, 64)
+    packed_nz = (
+        ((votes_nz > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
     ).astype(np.int64)
-    packed = np.where(lens == 0, 0, packed)
+    packed = np.zeros(n, dtype=np.int64)
+    packed[nz] = packed_nz
     return pd.Series(packed)
 
 

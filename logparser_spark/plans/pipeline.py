@@ -78,6 +78,18 @@ def run_pipeline(
     for i, chunk_files in enumerate(chunks):
         chunk_id = f"chunk-{i:05d}"
         if chunk_id in done:
+            # chunk ids are positional — refuse to resume if the file
+            # set behind a completed chunk changed (a new input file or
+            # different n_chunks shifts the mapping and would silently
+            # skip or double-process data)
+            recorded = done[chunk_id].get("input_files")
+            if recorded is not None and recorded != chunk_files:
+                raise RuntimeError(
+                    f"resume mismatch for {chunk_id}: manifest records "
+                    f"{len(recorded)} input files {recorded[:2]}..., this run "
+                    f"chunks to {len(chunk_files)} files {chunk_files[:2]}...; "
+                    "input set or n_chunks changed — use a fresh out_root"
+                )
             continue
         # roll back any partial output of a crashed previous attempt
         writer.remove_chunk(chunk_id)
@@ -149,6 +161,7 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
         "agg_sink_totals": agg.sink_totals(df),
         "agg_status_hist": agg.status_hist(df),
         "agg_hourly_hist": agg.hourly_hist(df),
+        "agg_daily_rollup": agg.daily_rollup(df),
         "top_urls": agg.top_urls(df),
         "top_users": agg.top_users(df),
     }

@@ -37,14 +37,18 @@ RAW_SCHEMA = StructType(
 def read_raw_sequences(
     spark: SparkSession, path: str | list[str], validate: bool = False
 ) -> DataFrame:
+    """Read the tokenized-sequence table with the pinned schema.
+
+    ``validate=True`` enforces the generator invariant
+    ``n_tok == size(tokens)`` by FILTERING violating rows out (schema
+    unchanged); leave False on trusted inputs to skip the extra
+    size() evaluation per row.
+    """
     df = spark.read.schema(RAW_SCHEMA).parquet(
         *(path if isinstance(path, list) else [path])
     )
     if validate:
-        # generator invariant: n_tok == size(tokens)
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "_n_ok", F.size("tokens") == F.col("n_tok")
-        )
+        df = df.filter(F.size("tokens") == F.col("n_tok"))
     return df

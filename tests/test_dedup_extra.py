@@ -50,6 +50,71 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
     assert iset == again
 
 
+def test_dedup_handles_short_and_empty_docs(spark):
+    """Docs with fewer than NGRAM words must yield empty shingle sets,
+    not crash (Spark sequence() DESCENDS when start > stop, which used
+    to feed slice() an invalid index)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),  # 2 words < NGRAM=3
+            (1, "x"),
+            (2, ""),
+            (3, "one two three four five six seven eight"),
+            (4, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+    brute = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in brute} == {(3, 4)}
+    # simhash over short docs also fine
+    assert dedup.simhash(docs).count() == 5
+
+
+def test_corrupt_code_points_quarantine_not_crash(spark, tmp_path):
+    """Out-of-range int32 tokens (negative / > 0x10FFFF) must decode
+    permissively (U+FFFD) and quarantine the row, not kill the stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparser_spark.plans.pipeline import run_pipeline
+    from logparser_spark.sources.sinks import read_sink
+
+    ok = [ord(c) for c in "1709251200.000 5 10.0.0.1 TCP_MISS/200 9 GET http://a.b/c user1 DIRECT/- -"]
+    rows = [("good", ok), ("neg", [-5, 32] + ok), ("huge", [0x7FFFFFFF] + ok)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "p.parquet"))
+    run_pipeline(spark, str(src), str(tmp_path / "out"))
+    got = {
+        r.doc_id: (r.category, list(r.tokens) == dict(rows)[r.doc_id])
+        for r in read_sink(spark, str(tmp_path / "out")).collect()
+    }
+    assert got["good"] == ("success", True)
+    assert got["neg"][0] == "quarantine" and got["neg"][1]
+    assert got["huge"][0] == "quarantine" and got["huge"][1]
+
+
+def test_resume_rejects_changed_input_set(spark, tmp_path):
+    from logparser_spark.fixtures import write_raw_sequences
+    from logparser_spark.plans.pipeline import run_pipeline
+
+    src = write_raw_sequences(str(tmp_path), 2000, files=4)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, src, out, n_chunks=2)
+    with pytest.raises(RuntimeError, match="resume mismatch"):
+        run_pipeline(spark, src, out, n_chunks=4)  # different chunking
+
+
 def test_ivf_exact_when_probing_all_lists(spark, emb):
     brute = similarity.brute_topk(emb, query_ids=[0, 1, 2], k=5).collect()
     ivf = similarity.ivf_topk(
