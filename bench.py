@@ -32,7 +32,8 @@ SF_DIR_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline queries: the pipeline family + the training-data extensions.
-# parse_route is the flagship (full tokenize->parse->route materialization).
+# parsed_rows is the flagship (full tokenize->parse->route
+# materialization); its throughput is reported as parsed_rows_seq_per_sec.
 BENCH_QUERIES = [
     "parsed_rows",
     "sink_totals",
@@ -76,6 +77,11 @@ def run_driver_bench(sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        raise SystemExit(
+            f"BENCH_QUERIES out of sync with queries(): missing {missing}"
+        )
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
@@ -84,13 +90,13 @@ def run_driver_bench(sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # flagship throughput = the parsed_rows query (full tokenize ->
+    # parse -> route materialization), named after the query it times
     seq_per_sec = (
         round(n_events / timings["parsed_rows"], 1) if timings.get("parsed_rows") else None
     )
@@ -105,9 +111,9 @@ def run_driver_bench(sf_dir: str) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "parse_route_seq_per_sec": seq_per_sec,
+        "parsed_rows_seq_per_sec": seq_per_sec,
         "events_rows": n_events,
-        "cpus": int(CPUS),
+        "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
     }
 
 
@@ -189,11 +195,12 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
             "    if i: best = min(best, time.monotonic()-t0)\n"  # i=0 is warmup
             "print('HW', %d, round(best,2))\n" % (os.path.dirname(os.path.abspath(__file__)), n, n)
         )
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, check=True
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("HW")][-1]
-        out[n] = float(line.split()[-1])
+        proc = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("HW")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise RuntimeError(f"hw-ceiling run local[{n}] failed")
+        out[n] = float(lines[-1].split()[-1])
     return {
         "low_sec": out[n_low],
         "high_sec": out[n_high],
@@ -227,9 +234,15 @@ def run_scaling(n_low: int, fixture_scale: str = "bench", rounds: int = 2) -> di
                 out_root,
             ]
             print(f"[scaling] round {r} local[{n}] ...", file=sys.stderr)
-            proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            rec = json.loads(line)
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"pipeline-run local[{n}] failed (rc={proc.returncode})")
+            lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise RuntimeError(f"pipeline-run local[{n}] produced no result JSON")
+            rec = json.loads(lines[-1])
             all_rates[n].append(rec["seq_per_sec"])
             prev = results.get(n)
             if prev is None or rec["seq_per_sec"] > prev["seq_per_sec"]:
@@ -335,6 +348,8 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.pipeline_run:
+        if not args.input:
+            ap.error("--pipeline-run requires --input")
         print(json.dumps(pipeline_run(args.master, args.input, args.out)))
     elif args.scaling:
         print(json.dumps(run_scaling(args.n, args.fixture, args.rounds)))

@@ -199,6 +199,24 @@ def lines_to_sequences(pdf: pd.DataFrame) -> pa.Table:
     )
 
 
+def generate_partitioned_lines(
+    n: int, files: int, seed: int = SEED
+) -> list[pd.DataFrame]:
+    """The per-file (derived seed, row count, doc_id) contract behind
+    ``write_raw_sequences`` — one frame per output file. Shared with
+    test oracles so ground truth regenerates identical content without
+    duplicating the seeding rules (tests still bypass the parquet
+    encode path, which is the independence that matters)."""
+    parts = []
+    per = n // files
+    for f in range(files):
+        cnt = per if f < files - 1 else n - per * (files - 1)
+        pdf = generate_lines(cnt, seed=seed + f * 1000)
+        pdf["doc_id"] = [f"doc-{f:03d}-{i:09d}" for i in range(cnt)]
+        parts.append(pdf)
+    return parts
+
+
 def write_raw_sequences(
     out_dir: str, n: int, seed: int = SEED, files: int = 8
 ) -> str:
@@ -209,11 +227,7 @@ def write_raw_sequences(
     """
     path = os.path.join(out_dir, "raw_sequences")
     os.makedirs(path, exist_ok=True)
-    per = n // files
-    for f in range(files):
-        cnt = per if f < files - 1 else n - per * (files - 1)
-        pdf = generate_lines(cnt, seed=seed + f * 1000)
-        pdf["doc_id"] = [f"doc-{f:03d}-{i:09d}" for i in range(cnt)]
+    for f, pdf in enumerate(generate_partitioned_lines(n, files, seed)):
         tbl = lines_to_sequences(pdf)
         pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
     return path

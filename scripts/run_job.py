@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """spark-submit entrypoint for the full pipeline.
 
-    ./scripts/submit.sh --input <raw_sequences dir> --out <sink root> \
-        [--chunks N] [--master local[N]]
+    ./scripts/submit.sh [--master local[N]] --input <raw_sequences dir> \
+        --out <sink root> [--chunks N]
 
-Ships ``logparser_spark`` via --py-files (see submit.sh); on a cluster
-replace --master with your resource manager and the same zip rides
-along to every executor's Python workers.
+``--master`` must come FIRST (submit.sh consumes it; everything else is
+forwarded here). Ships ``logparser_spark`` via --py-files (see
+submit.sh); on a cluster replace --master with your resource manager
+and the same zip rides along to every executor's Python workers.
 """
 
 from __future__ import annotations

@@ -33,15 +33,10 @@ def tiny_input(tmp_path_factory):
 @pytest.fixture(scope="session")
 def tiny_lines():
     """The same 10k rows as decoded lines + doc_id/source ground truth
-    (regenerated independently of the parquet encode path)."""
+    (same seeding contract as write_raw_sequences via the shared
+    helper; bypasses the parquet/token encode path)."""
     import pandas as pd
 
-    from logparser_spark.fixtures import generate_lines
+    from logparser_spark.fixtures import generate_partitioned_lines
 
-    parts = []
-    per = 10_000 // 8
-    for f in range(8):
-        pdf = generate_lines(per, seed=42 + f * 1000)
-        pdf["doc_id"] = [f"doc-{f:03d}-{i:09d}" for i in range(per)]
-        parts.append(pdf)
-    return pd.concat(parts, ignore_index=True)
+    return pd.concat(generate_partitioned_lines(10_000, 8), ignore_index=True)

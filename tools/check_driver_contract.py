@@ -43,6 +43,8 @@ def row_multiset(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("/"):
+        sys.exit(f"first arg must be an sf dir path, got {sys.argv[1]!r}")
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
@@ -58,6 +60,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}; have {sorted(qs)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -72,9 +77,13 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.monotonic()-t0:.1f}s)")
             if len(srows) == 0:
-                print(f"WARN {name}: 0 rows")
+                failures.append(name)
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+            else:
+                print(
+                    f"ok   {name}: rows-only ({len(srows)} rows, {time.monotonic()-t0:.1f}s)"
+                )
             continue
         try:
             res = con.execute(oracles[name])
