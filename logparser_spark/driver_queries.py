@@ -205,7 +205,7 @@ SELECT category,
        COUNT(*) AS row_count,
        COUNT(CASE WHEN status_code >= 400 THEN 1 END) AS error_count,
        COUNT(DISTINCT ip) AS unique_ips,
-       COALESCE(SUM(response_size_bytes), 0) AS bytes_total,
+       CAST(COALESCE(SUM(response_size_bytes), 0) AS BIGINT) AS bytes_total,
        COALESCE(CAST(floor(AVG(CASE WHEN response_time_ms > 0 THEN response_time_ms END) + 0.5) AS BIGINT), 0) AS avg_response_time_ms
 FROM parsed GROUP BY category ORDER BY category""",
     "status_hist": _cte()
@@ -229,7 +229,7 @@ ORDER BY 1, 2""",
 SELECT url, domain,
        COUNT(*) AS request_count,
        CAST(floor(AVG(response_time_ms) + 0.5) AS BIGINT) AS avg_response_time,
-       SUM(response_size_bytes) AS total_bytes,
+       CAST(SUM(response_size_bytes) AS BIGINT) AS total_bytes,
        MAX(epoch_us) AS last_access_us
 FROM parsed
 WHERE valid AND url IS NOT NULL AND url <> '-'
@@ -243,7 +243,7 @@ SELECT username,
        COUNT(*) AS request_count,
        COUNT(DISTINCT ip) AS unique_ips,
        CAST(floor(AVG(response_time_ms) + 0.5) AS BIGINT) AS avg_response_time,
-       SUM(response_size_bytes) AS total_bytes,
+       CAST(SUM(response_size_bytes) AS BIGINT) AS total_bytes,
        MIN(epoch_us) AS first_seen_us,
        MAX(epoch_us) AS last_seen_us
 FROM parsed

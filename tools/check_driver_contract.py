@@ -33,6 +33,71 @@ def norm_cell(v):
     return str(v)
 
 
+def _coarse_type(t) -> str:
+    """Coarse portability class for an Arrow type (or Spark simpleString).
+
+    The driver hashes values together with their canonical Arrow type, so a
+    DuckDB HUGEINT/decimal128 (e.g. from SUM(BIGINT)) mismatches a Spark
+    int64 even when values are equal. Map both sides to coarse classes and
+    require equality; decimal is its own class so it can never silently
+    match an integer column.
+    """
+    import pyarrow as pa
+
+    if isinstance(t, str):  # Spark simpleString
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "int"
+        if t in ("float", "double"):
+            return "float"
+        if t.startswith("decimal"):
+            return "decimal"
+        if t in ("string", "varchar"):
+            return "str"
+        if t == "boolean":
+            return "bool"
+        if t.startswith("timestamp"):
+            return "timestamp"
+        if t == "date":
+            return "date"
+        if t == "binary":
+            return "binary"
+        if t.startswith("array"):
+            return "list"
+        return t
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def type_mismatches(sdf, con, sql) -> list[str]:
+    """Compare coarse Arrow-type classes per column name, Spark vs oracle."""
+    spark_types = {f.name: _coarse_type(f.dataType.simpleString()) for f in sdf.schema}
+    atab = con.execute(sql).arrow()
+    out = []
+    for field in atab.schema:
+        sc = spark_types.get(field.name)
+        oc = _coarse_type(field.type)
+        if sc is not None and sc != oc:
+            out.append(f"{field.name}: spark={sc} oracle={oc} ({field.type})")
+    return out
+
+
 def row_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(
@@ -94,6 +159,13 @@ def main():
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         ok = True
+        try:
+            tmis = type_mismatches(sdf, con, oracles[name])
+        except Exception as e:  # arrow fetch can fail on exotic types
+            tmis = [f"<type check errored: {type(e).__name__}: {e}>"]
+        if tmis:
+            print(f"FAIL {name}: type-portability {tmis}")
+            ok = False
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
             ok = False
