@@ -167,6 +167,94 @@ def q_dataset_period(spark, sf_dir):
     return agg.dataset_period(routed_events(spark, sf_dir))
 
 
+def _driver_dims():
+    """Dims for the driver-contract enrichment query (J1/J2).
+
+    ``dim_action``/``dim_ip_class`` come straight from fixtures.dim_tables
+    (their keys appear in the derived log lines); ``dim_source`` is keyed on
+    the events table's five event_type values plus one absent key, since the
+    fixture dim's proxy-NN keys never occur in the driver data. The oracle
+    inlines these same frames as VALUES CTEs via _values_cte, so Spark and
+    DuckDB enrich against byte-identical lookup tables by construction.
+    """
+    import pandas as pd
+
+    from logparser_spark.fixtures import dim_tables
+
+    dims = dim_tables()
+    kinds = ["click", "error", "purchase", "signup", "view", "stream"]
+    dims["dim_source"] = pd.DataFrame(
+        {
+            "source": kinds,  # 'stream' absent from fact
+            "site": [f"site-{i % 3}" for i in range(len(kinds))],
+            "tier": ["edge" if i % 2 == 0 else "core" for i in range(len(kinds))],
+        }
+    )
+    return dims
+
+
+def _values_cte(name: str, pdf, cols: list[str]) -> str:
+    """Render a pandas frame as a DuckDB `name(cols) AS (VALUES ...)` CTE."""
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(r[c]) for c in cols) + ")" for _, r in pdf.iterrows()
+    )
+    return f"{name}({', '.join(cols)}) AS (VALUES {rows})"
+
+
+def q_enriched_rows(spark, sf_dir):
+    """J1/J2: broadcast dim→fact left joins with null-key defaults.
+
+    Reference analog: ParsingController.java:383-387 (dim→fact join),
+    DatabaseManager.java:460-492 (dim population/enrichment vocabularies).
+    Invalid rows carry NULL action/ip → coalesced OTHER/'external';
+    every valid row hits dim_source and dim_ip_class.
+    """
+    from logparser_spark.operators.enrich import enrich
+
+    dims = {
+        name: spark.createDataFrame(pdf) for name, pdf in _driver_dims().items()
+    }
+    df = enrich(routed_events(spark, sf_dir), dims)
+    return df.select(
+        "event_id",
+        "category",
+        "action",
+        "action_family",
+        "site",
+        "tier",
+        "ip_class",
+    )
+
+
+def _enriched_rows_oracle() -> str:
+    dims = _driver_dims()
+    return (
+        _cte()
+        + ", "
+        + _values_cte("dim_action", dims["dim_action"], ["action", "action_family"])
+        + ", "
+        + _values_cte("dim_source", dims["dim_source"], ["source", "site", "tier"])
+        + ", "
+        + _values_cte("dim_ip_class", dims["dim_ip_class"], ["ip_prefix", "ip_class"])
+        + """
+SELECT p.event_id, p.category, p.action,
+       COALESCE(a.action_family, 'OTHER') AS action_family,
+       s.site, s.tier,
+       COALESCE(i.ip_class, 'external') AS ip_class
+FROM parsed p
+LEFT JOIN dim_action a ON p.action = a.action
+LEFT JOIN dim_source s ON p.source = s.source
+LEFT JOIN dim_ip_class i
+  ON (split_part(p.ip, '.', 1) || '.' || split_part(p.ip, '.', 2)) = i.ip_prefix"""
+    )
+
+
 def q_keep_latest(spark, sf_dir):
     """O7: keep-latest-per-key (the library operator, not a reimpl)."""
     from logparser_spark.operators.dedup import keep_latest
@@ -268,6 +356,7 @@ ORDER BY epoch_us DESC, event_id ASC
 LIMIT 50 OFFSET 100""",
     "dataset_period": _cte()
     + "SELECT MIN(epoch_us) AS min_time_us, MAX(epoch_us) AS max_time_us FROM parsed WHERE valid",
+    "enriched_rows": _enriched_rows_oracle(),
     "keep_latest": _cte()
     + """
 SELECT username, event_id, epoch_us FROM (
@@ -290,5 +379,6 @@ PIPELINE_QUERIES = {
     "daily_rollup": q_daily_rollup,
     "page_query": q_page_query,
     "dataset_period": q_dataset_period,
+    "enriched_rows": q_enriched_rows,
     "keep_latest": q_keep_latest,
 }
