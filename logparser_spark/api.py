@@ -81,6 +81,26 @@ class LogPipelineAPI:
         path = os.path.join(self.root, "summary", name)
         return self.spark.read.parquet(path) if os.path.exists(path) else None
 
+    def _summary_rows(self, name: str) -> int:
+        """Row count of a summary table WITHOUT a Spark job: the
+        aggregate stage records counts in summary/_k.json at write
+        time; parquet footers are the fallback for older outputs."""
+        import glob
+        import json
+
+        kpath = os.path.join(self.root, "summary", "_k.json")
+        if os.path.exists(kpath):
+            with open(kpath) as fh:
+                ks = json.load(fh)
+            if name in ks:
+                return ks[name]
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(self.root, "summary", name, "*.parquet"))
+        )
+
     # -- GET /api/logs ------------------------------------------------
     def get_logs(
         self, flt: LogFilter | None = None, page: int = 1, size: int = 50
@@ -122,15 +142,30 @@ class LogPipelineAPI:
 
     def get_top_urls(self, flt: LogFilter | None = None, k: int = 100) -> DataFrame:
         if (flt is None or flt.is_empty()) and (s := self._summary("top_urls")) is not None:
-            if s.count() >= k:
+            if self._summary_rows("top_urls") >= k:
                 return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
         return agg.top_urls(self._facts(flt), k=k)
 
     def get_top_users(self, flt: LogFilter | None = None, k: int = 10) -> DataFrame:
         if (flt is None or flt.is_empty()) and (s := self._summary("top_users")) is not None:
-            if s.count() >= k:
+            if self._summary_rows("top_users") >= k:
                 return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
         return agg.top_users(self._facts(flt), k=k)
+
+    # -- GET /api/combined-tops ---------------------------------------
+    def get_combined_tops(
+        self,
+        flt: LogFilter | None = None,
+        k_urls: int = 100,
+        k_users: int = 10,
+    ) -> dict[str, DataFrame]:
+        """Both top lists in one response (ParsingController.java's
+        GET /api/combined-tops): same fast-path/fallback routing as the
+        individual endpoints."""
+        return {
+            "topUrls": self.get_top_urls(flt, k=k_urls),
+            "topUsers": self.get_top_users(flt, k=k_users),
+        }
 
     # -- GET /api/statuses / /api/actions ----------------------------
     def get_statuses(self) -> DataFrame:

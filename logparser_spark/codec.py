@@ -61,7 +61,16 @@ def decode_series(tokens: pd.Series) -> pd.Series:
     offsets = np.zeros(len(vals) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     try:
-        u4 = flat.view(np.uint32) if flat.dtype.itemsize == 4 else flat.astype("<u4")
+        if flat.dtype.itemsize == 4:
+            u4 = flat.view(np.uint32)
+        else:
+            # astype('<u4') would wrap out-of-range values mod 2^32
+            # (e.g. int64 2^32+65 -> 'A'), silently turning corrupt
+            # tokens into valid text; bounds-check first and let the
+            # permissive per-row fallback map them to U+FFFD instead.
+            if flat.min() < 0 or flat.max() > 0x10FFFF:
+                raise ValueError("token out of Unicode range")
+            u4 = flat.astype("<u4")
         s = u4.tobytes().decode("utf-32-le")
         out = [s[offsets[i] : offsets[i + 1]] for i in range(len(vals))]
     except (UnicodeDecodeError, TypeError, ValueError):

@@ -66,15 +66,21 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embed_near_dup(spark, sf_dir):
-    return similarity.cosine_near_dup_pairs(embeddings(spark, sf_dir), threshold=0.35)
+    """Exact near-dup pairs via the distributed block-pair path — no
+    driver collect / full-matrix broadcast (the old baseline,
+    cosine_near_dup_pairs, is now pytest-oracle-only). Exact, so it
+    hash-matches the all-pairs SQL oracle."""
+    return similarity.cosine_near_dup_blocked(embeddings(spark, sf_dir), threshold=0.35)
 
 
 def q_embed_near_dup_lsh(spark, sf_dir):
     """Bucketed candidates + exact verify. At this dataset's moderate
-    threshold (0.35 — its max pairwise cosine is ~0.5) recall needs
-    wide buckets: 32 tables x 4 bits gives p(candidate) ~0.99 at the
-    threshold. For true near-dup thresholds (>= 0.9) the defaults
-    (16 x 8) prune far harder at recall ~1."""
+    threshold (0.35 — its max pairwise cosine is ~0.5, barely apart
+    from the random-pair bulk at ~90°) sign-LSH needs wide buckets for
+    recall: 32 tables x 4 bits gives p(candidate) ~0.99 at the
+    threshold, i.e. almost no pruning — which is why the exact blocked
+    path drives embed_near_dup here. For true near-dup thresholds
+    (>= 0.9) the defaults (16 x 8) prune hard at recall ~1."""
     return similarity.cosine_near_dup_lsh(
         embeddings(spark, sf_dir), threshold=0.35, n_tables=32, n_bits=4
     )

@@ -184,11 +184,21 @@ def lines_to_sequences(pdf: pd.DataFrame) -> pa.Table:
     materialize in seconds.
     """
     lines = pdf["line"].tolist()
-    lens = np.fromiter((len(s) for s in lines), dtype=np.int32, count=len(lines))
-    offsets = np.zeros(len(lines) + 1, dtype=np.int32)
+    lens = np.fromiter((len(s) for s in lines), dtype=np.int64, count=len(lines))
+    # offsets accumulate in int64 — int32 would wrap silently past ~2.1e9
+    # total chars, only ~2x above the 10M-row bench fixture's ~1e9.
+    offsets = np.zeros(len(lines) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"fixture part too large for list<int32> offsets ({total} chars);"
+            " split into more files"
+        )
     values = np.frombuffer("".join(lines).encode("utf-32-le"), dtype=np.int32)
-    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(values)
+    )
     return pa.table(
         {
             "doc_id": pa.array(pdf["doc_id"], type=pa.string()),

@@ -124,6 +124,76 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs, fully distributed.
+
+    Block-pair decomposition: each vector lands in block ``id % B`` and
+    is shuffled to every block-pair group (min(b,c), max(b,c)) — B
+    copies per vector, B(B+1)/2 groups. Each group BLAS-multiplies its
+    two sub-matrices and emits only above-threshold pairs; a pair
+    (x, y) belongs to exactly one group (blk(x), blk(y)), so no
+    dedup/distinct pass is needed. Unlike the driver-collect baseline
+    (``cosine_near_dup_pairs``) nothing ever leaves the executors:
+    shuffle is N*B rows and per-group memory is ~2N/B * dim doubles —
+    pick B ~ sqrt(2 * parallelism) (and it also bounds group memory)
+    so this survives arbitrary N. Compute is the same O(N^2) dot
+    products as the baseline, spread across B(B+1)/2 tasks; for true
+    near-dup thresholds (>= 0.9) prefer ``cosine_near_dup_lsh`` which
+    prunes candidates instead of spreading them.
+    """
+    out_schema = "vec_a long, vec_b long, cosine_x10000 long"
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        lo, hi = int(pdf["_blo"].iat[0]), int(pdf["_bhi"].iat[0])
+        if lo == hi:
+            sims = m @ m.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            left = ids % n_blocks == lo
+            la, lb = ids[left], ids[~left]
+            sims = m[left] @ m[~left].T
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = la[ii], lb[jj]
+        cos = sims[ii, jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cosine_x10000": np.floor(cos * 10000).astype(np.int64),
+            }
+        )
+
+    blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    rep = emb.select(id_col, vec_col, blk.alias("_b")).crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(n_blocks).select(F.col("id").cast("int").alias("_c"))
+        )
+    )
+    # c sweeps 0..B-1, so (least, greatest) yields each of the B
+    # unordered block-pairs containing _b exactly once — no dedup needed.
+    rep = rep.select(
+        id_col,
+        vec_col,
+        F.least("_b", "_c").alias("_blo"),
+        F.greatest("_b", "_c").alias("_bhi"),
+    )
+    return (
+        rep.groupBy("_blo", "_bhi")
+        .applyInPandas(pair_block, schema=out_schema)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def cosine_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -172,15 +242,46 @@ def cosine_near_dup_lsh(
 
 
 def _train_centroids(
-    emb: DataFrame, n_lists: int, vec_col: str, seed: int, sample: int, iters: int
+    emb: DataFrame,
+    n_lists: int,
+    vec_col: str,
+    seed: int,
+    sample: int,
+    iters: int,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic spherical k-means on a seeded sample (driver-side
-    numpy — at 10^12 scale you sample anyway; centroids are tiny)."""
-    pdf = emb.select(vec_col).limit(sample).toPandas()
+    numpy — at 10^12 scale you sample anyway; centroids are tiny).
+
+    The sample is the ``sample`` smallest values of xxhash64(id, seed) —
+    a uniform pseudo-random subset that is deterministic across
+    partition scheduling (a bare ``limit`` would take whichever
+    partitions answered first), and TakeOrdered keeps only k rows per
+    partition in flight."""
+    pdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample)
+        .select(vec_col)
+        .toPandas()
+    )
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
-    c = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    # k-means++-style init (deterministic): seed one random point, then
+    # greedily add the point farthest (in cosine) from its nearest
+    # chosen centroid — spreads lists across the sphere far better than
+    # uniform choice when k is small, which directly bounds how often a
+    # true neighbor hides in an unprobed cell.
+    k = min(n_lists, len(x))
+    first = int(rng.integers(len(x)))
+    chosen = [first]
+    best = x @ x[first]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, x @ x[nxt])
+    c = x[chosen].copy()
     for _ in range(iters):
         assign = (x @ c.T).argmax(axis=1)
         for j in range(len(c)):
@@ -196,7 +297,8 @@ def ivf_topk(
     query_ids: list[int],
     k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 10,
+    n_probe: int = 12,  # these synthetic embeddings cluster weakly; real
+    # embedding spaces hold recall at far lower probe fractions
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -213,7 +315,9 @@ def ivf_topk(
     Complements sign-LSH: IVF adapts to the data distribution, LSH is
     data-independent.
     """
-    cents = _train_centroids(emb, n_lists, vec_col, seed, train_sample, train_iters)
+    cents = _train_centroids(
+        emb, n_lists, vec_col, seed, train_sample, train_iters, id_col=id_col
+    )
 
     @pandas_udf("int")
     def assign_udf(v: pd.Series) -> pd.Series:

@@ -30,12 +30,18 @@ def upsert_ignore(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataF
     column order (deterministic via a min struct, mirroring DO NOTHING
     firing once per conflicting key).
     """
-    w = Window.partitionBy(*keys).orderBy(*[c for c in new.columns if c not in keys])
-    new_dedup = (
-        new.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    non_key = [c for c in new.columns if c not in keys]
+    if non_key:
+        w = Window.partitionBy(*keys).orderBy(*non_key)
+        new_dedup = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        # pure-key table (a legitimate DO NOTHING shape): an empty
+        # orderBy would throw; identical rows need no tie-break.
+        new_dedup = new.dropDuplicates(keys)
     fresh = new_dedup.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
     return existing.unionByName(fresh)
 

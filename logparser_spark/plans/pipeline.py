@@ -105,6 +105,14 @@ def run_pipeline(
 
         from logparser_spark.functions.classify import CATEGORIES
 
+        # Caveat: Observation accumulators can OVERCOUNT under
+        # speculative execution or stage reattempts (each successful
+        # duplicate attempt adds its metrics). When speculation is on,
+        # the manifest record comes from parquet footer counts of the
+        # promoted files instead — exact by construction.
+        speculative = (
+            spark.conf.get("spark.speculation", "false").lower() == "true"
+        )
         obs = Observation(chunk_id)
         routed = routed.observe(
             obs,
@@ -116,9 +124,14 @@ def run_pipeline(
         )
         writer.write_chunk(routed, chunk_id)
 
-        vals = obs.get
-        cat_counts = {c: vals[c] for c in CATEGORIES if vals[c]}
-        rows = vals["_rows"]
+        if speculative:
+            from logparser_spark.sources.sinks import chunk_counts_from_footers
+
+            rows, cat_counts = chunk_counts_from_footers(out_root, chunk_id)
+        else:
+            vals = obs.get
+            cat_counts = {c: vals[c] for c in CATEGORIES if vals[c]}
+            rows = vals["_rows"]
         total_rows += rows
         dt = _time.monotonic() - t0
         manifest.commit_chunk(
@@ -172,4 +185,22 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
 
     with ThreadPoolExecutor(max_workers=len(results)) as pool:
         list(pool.map(write, results.items()))
+
+    # Record each summary's row count (parquet footers — no extra job)
+    # so API fast-path eligibility (k <= rows) never needs a Spark
+    # count() probe per call.
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as _pq
+
+    ks = {
+        name: sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(out_root, "summary", name, "*.parquet"))
+        )
+        for name in results
+    }
+    with open(os.path.join(out_root, "summary", "_k.json"), "w") as fh:
+        json.dump(ks, fh)
     return results

@@ -110,6 +110,38 @@ class MultiSinkWriter:
             os.remove(f)
 
 
+def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, int]]:
+    """Exact (total, per-category) row counts of one promoted chunk from
+    parquet footer metadata — no Spark job, no data pages read.
+
+    This is the count source of record when speculative execution or
+    stage reattempts could make Observation accumulators overcount
+    (duplicate successful task attempts each add their metrics); footer
+    counts reflect only the files actually promoted.
+    """
+    total = 0
+    per_cat: dict[str, int] = {}
+    data_dir = os.path.join(root, "data")
+    for f in glob.glob(
+        os.path.join(data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
+    ):
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f).metadata.num_rows
+        rel = os.path.relpath(f, data_dir)
+        cat = next(
+            (
+                p.split("=", 1)[1]
+                for p in rel.split(os.sep)
+                if p.startswith("category=")
+            ),
+            "unknown",
+        )
+        total += n
+        per_cat[cat] = per_cat.get(cat, 0) + n
+    return total, per_cat
+
+
 def read_sink(
     spark: SparkSession, root: str, category: str | None = None
 ) -> DataFrame:

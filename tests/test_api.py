@@ -67,3 +67,26 @@ def test_count_pages(api):
 def test_dims_nonempty(api):
     assert api.get_statuses().count() > 0
     assert api.get_actions().count() > 0
+
+
+def test_combined_tops_matches_individual_endpoints(api):
+    both = api.get_combined_tops(k_urls=10, k_users=5)
+    urls = [(r.url, r.request_count) for r in both["topUrls"].collect()]
+    users = [(r.username, r.request_count) for r in both["topUsers"].collect()]
+    assert urls == [(r.url, r.request_count) for r in api.get_top_urls(k=10).collect()]
+    assert users == [
+        (r.username, r.request_count) for r in api.get_top_users(k=5).collect()
+    ]
+
+
+def test_summary_rows_recorded_no_spark_count(api):
+    """Fast-path eligibility reads summary/_k.json (written by the
+    aggregate stage), not a per-call Spark count()."""
+    import json
+    import os
+
+    kpath = os.path.join(api.root, "summary", "_k.json")
+    assert os.path.exists(kpath)
+    ks = json.load(open(kpath))
+    assert ks["top_urls"] == api._summary("top_urls").count()
+    assert api._summary_rows("top_urls") == ks["top_urls"]

@@ -32,3 +32,18 @@ def test_none_and_empty_arrays():
 def test_numpy_input():
     arr = np.array([72, 105], dtype=np.int32)
     assert decode_tokens(arr) == "Hi"
+
+
+def test_int64_out_of_range_tokens_quarantine_not_wrap():
+    """int64 token 2^32+65 must NOT silently wrap mod 2^32 to 'A' in the
+    astype fast path — it routes to the permissive fallback (U+FFFD),
+    matching decode_tokens, so the corrupt row quarantines at parse."""
+    s = pd.Series([[2**32 + 65, 66], [72, 105]], dtype=object)
+    out = decode_series(s)
+    assert list(out) == ["�" + "B", "Hi"]
+    assert decode_tokens([2**32 + 65, 66]) == "�B"
+
+
+def test_negative_int64_tokens_fallback():
+    s = pd.Series([[-1, 65]], dtype=object)
+    assert list(decode_series(s)) == ["�A"]

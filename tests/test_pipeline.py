@@ -175,6 +175,21 @@ def test_manifest_metrics(spark, tiny_input, tmp_path_factory):
         assert set(rec["rows_per_category"]) <= {"quarantine", "denied", "error", "success", "other"}
 
 
+def test_footer_counts_agree_with_observation_counts(spark, tiny_input, tmp_path_factory):
+    """chunk_counts_from_footers (the count source under speculative
+    execution) must equal the Observation-metric counts recorded in the
+    manifest on a normal run."""
+    from logparser_spark.plans.checkpoint import Manifest
+    from logparser_spark.sources.sinks import chunk_counts_from_footers
+
+    out = str(tmp_path_factory.mktemp("footers"))
+    run_pipeline(spark, tiny_input, out, n_chunks=2)
+    for chunk_id, rec in Manifest(out).completed_chunks().items():
+        rows, per_cat = chunk_counts_from_footers(out, chunk_id)
+        assert rows == rec["rows"]
+        assert per_cat == rec["rows_per_category"]
+
+
 def test_summary_tables_written(spark, pipeline_out):
     import os
 

@@ -41,6 +41,23 @@ def test_near_dup_exact_pairs_symmetric_oriented(emb):
         assert r["cosine_x10000"] >= 3500
 
 
+def test_near_dup_blocked_equals_exact(emb):
+    """The distributed block-pair path must emit exactly the baseline's
+    pairs — every pair lands in exactly one block-pair group, so there
+    is no dedup step to hide double-emission bugs behind."""
+    exact = sorted(
+        tuple(r) for r in sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    )
+    for n_blocks in (1, 3, 8):
+        blocked = sorted(
+            tuple(r)
+            for r in sim.cosine_near_dup_blocked(
+                emb, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        )
+        assert blocked == exact, f"n_blocks={n_blocks}"
+
+
 def test_near_dup_lsh_recall_vs_exact(emb):
     exact = {
         (r["vec_a"], r["vec_b"])

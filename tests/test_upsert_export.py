@@ -23,6 +23,17 @@ def test_upsert_ignore_keeps_existing(spark):
     assert got == {(200, "old"), (404, "old"), (500, "NEW")}
 
 
+def test_upsert_ignore_pure_key_table(spark):
+    """A keys-only table (ON CONFLICT DO NOTHING on a vocabulary dim)
+    must dedupe, not crash on an empty window orderBy."""
+    existing = spark.createDataFrame([(200,), (404,)], "status_code int")
+    new = spark.createDataFrame([(200,), (500,), (500,)], "status_code int")
+    got = sorted(
+        r.status_code for r in upsert_ignore(existing, new, ["status_code"]).collect()
+    )
+    assert got == [200, 404, 500]
+
+
 def test_upsert_replace_keeps_latest(spark):
     existing = spark.createDataFrame(
         [("urls", 100, 1, "v1"), ("users", 10, 5, "v5")],
