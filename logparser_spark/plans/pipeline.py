@@ -54,18 +54,28 @@ def run_pipeline(
     salt_buckets: int = 8,
     pre_shuffle: bool = False,
     fail_after_chunk: int | None = None,
+    writer=None,
 ) -> dict:
     """Chunked, resumable parse→route load. Returns run metrics.
 
     ``fail_after_chunk`` is a test hook simulating a crash between a
     chunk's sink commit and nothing else (the manifest records it, so
     resume continues with the next chunk).
+
+    ``writer`` swaps the sink format — anything with the
+    write_chunk/remove_chunk contract, e.g.
+    ``sources.iceberg.IcebergMultiSinkWriter`` for snapshot commits
+    when the Iceberg runtime is on the classpath (the default parquet
+    writer's rename-promote protocol is the sandbox stand-in).
     """
     import glob as _glob
     import os as _os
 
     manifest = Manifest(out_root)
-    writer = MultiSinkWriter(out_root, salt_buckets=salt_buckets, pre_shuffle=pre_shuffle)
+    if writer is None:
+        writer = MultiSinkWriter(
+            out_root, salt_buckets=salt_buckets, pre_shuffle=pre_shuffle
+        )
     done = manifest.completed_chunks()
 
     files = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
@@ -134,10 +144,17 @@ def run_pipeline(
             rows = vals["_rows"]
         total_rows += rows
         dt = _time.monotonic() - t0
+        # lineage: Iceberg-backed writers expose the committed snapshot
+        snapshot_id = (
+            writer.last_snapshot_id(chunk_id)
+            if hasattr(writer, "last_snapshot_id")
+            else None
+        )
         manifest.commit_chunk(
             {
                 "chunk_id": chunk_id,
                 "input_files": chunk_files,
+                **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
                 "rows": rows,
                 "rows_per_category": cat_counts,
                 "wall_sec": round(dt, 3),

@@ -1,0 +1,171 @@
+"""Iceberg-backed sink + upsert layer — the production table format the
+north rule names (reference analog: the UNLOGGED-staging + atomic-RENAME
+publish, DatabaseManager.java:255-332, and the ON CONFLICT upserts,
+DatabaseManager.java:404-458).
+
+This sandbox ships no ``iceberg-spark-runtime`` jar and has no network,
+so the parquet ``MultiSinkWriter`` (rename-promote protocol,
+sinks.py) is the stand-in: semantically equivalent atomic publish,
+minus snapshot isolation for concurrent readers. Everything here is the
+REAL adapter — with the jar on the classpath and a catalog configured::
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.11.0 \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse \
+      ...
+
+it creates/commits/rolls back actual Iceberg snapshots; without it,
+constructors raise a clear error naming the missing piece. The SQL
+builders (``create_table_sql``, ``merge_into_sql``) are pure functions
+so their output is pinned by tests even in this sandbox.
+
+Mapping to the parquet stand-in:
+
+===========================  ==========================================
+Iceberg                      sandbox stand-in (sinks.py / upsert.py)
+===========================  ==========================================
+snapshot commit per chunk    staging dir + per-file atomic rename
+PARTITIONED BY               partitionBy(category, day) directory tree
+  (category, days(time))
+snapshot id in manifest      chunk id + input-file list in manifest
+rollback_to_snapshot         remove_chunk (delete chunk-prefixed files)
+MERGE INTO (DO NOTHING)      upsert_ignore (left-anti + append)
+MERGE INTO (DO UPDATE)       upsert_replace (union + keep-latest)
+compaction                   pre_shuffle=True clustered write
+===========================  ==========================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def create_table_sql(table: str, schema_ddl: str) -> str:
+    """DDL for the routed-sink table: one logical table, per-category
+    sinks as partition subtrees, day granularity via the ``days``
+    transform (no materialized day column needed)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) "
+        "USING iceberg "
+        "PARTITIONED BY (category, days(time)) "
+        "TBLPROPERTIES ("
+        "'write.distribution-mode' = 'none', "  # direct task writes — same
+        # no-pre-shuffle strategy the parquet writer measured faster
+        "'write.target-file-size-bytes' = '536870912')"
+    )
+
+
+def merge_into_sql(
+    target: str,
+    source_view: str,
+    keys: list[str],
+    non_key_cols: list[str],
+    mode: str = "ignore",
+) -> str:
+    """The two ON CONFLICT shapes as one MERGE INTO statement.
+
+    mode='ignore'  -> INSERT .. ON CONFLICT DO NOTHING
+    mode='replace' -> INSERT .. ON CONFLICT DO UPDATE
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sql = f"MERGE INTO {target} t USING {source_view} s ON {on}"
+    if mode == "replace":
+        if non_key_cols:
+            sets = ", ".join(f"t.{c} = s.{c}" for c in non_key_cols)
+            sql += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    elif mode != "ignore":
+        raise ValueError(f"mode must be 'ignore' or 'replace', got {mode!r}")
+    return sql + " WHEN NOT MATCHED THEN INSERT *"
+
+
+class IcebergMultiSinkWriter:
+    """Drop-in for ``MultiSinkWriter`` over a real Iceberg table: one
+    atomic snapshot commit per chunk; readers never see partial data
+    and resume rollback is a metadata operation.
+
+    Matches MultiSinkWriter's contract (``write_chunk`` /
+    ``remove_chunk``) so ``run_pipeline(writer=...)`` swaps formats
+    without touching the DAG. The manifest's lineage record gains the
+    snapshot id (``last_snapshot_id`` after each write).
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        if not iceberg_available(spark):
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath — add "
+                "org.apache.iceberg:iceberg-spark-runtime and configure a "
+                f"catalog ({ICEBERG_CATALOG_CLASS}); in this sandbox use "
+                "sinks.MultiSinkWriter (rename-promote stand-in) instead"
+            )
+        self.spark = spark
+        self.table = table
+        self._snapshots: dict[str, int] = {}
+
+    def _ensure_table(self, df: DataFrame) -> None:
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        self.spark.sql(create_table_sql(self.table, ddl))
+
+    def write_chunk(self, df: DataFrame, chunk_id: str) -> int:
+        """Append one chunk in ONE snapshot; returns the snapshot id.
+
+        Rows tagged with the chunk id support exact remove_chunk via a
+        metadata-only overwrite (and make per-chunk lineage queryable).
+        """
+        out = df.withColumn("_chunk_id", F.lit(chunk_id))
+        self._ensure_table(out)
+        out.writeTo(self.table).option("fanout-enabled", "true").append()
+        snap = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()[0]
+        )
+        self._snapshots[chunk_id] = snap
+        return snap
+
+    def remove_chunk(self, chunk_id: str) -> None:
+        """Undo a crashed chunk: a single transactional DELETE (Iceberg
+        rewrites only affected files; with a recorded snapshot id,
+        rollback_to_snapshot is the pure-metadata alternative)."""
+        self.spark.sql(
+            f"DELETE FROM {self.table} WHERE _chunk_id = '{chunk_id}'"
+        )
+
+    def last_snapshot_id(self, chunk_id: str) -> int | None:
+        return self._snapshots.get(chunk_id)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    new: DataFrame,
+    keys: list[str],
+    mode: str = "ignore",
+) -> None:
+    """Run the MERGE INTO form of upsert_ignore/upsert_replace against a
+    real Iceberg table (single atomic commit, no read-modify-write)."""
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "MERGE INTO needs the Iceberg runtime; use operators.upsert."
+            "upsert_ignore/upsert_replace (anti-join/window equivalents)"
+        )
+    view = "_merge_src"
+    new.createOrReplaceTempView(view)
+    non_key = [c for c in new.columns if c not in keys]
+    spark.sql(merge_into_sql(target_table, view, keys, non_key, mode=mode))
