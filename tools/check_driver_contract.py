@@ -2,14 +2,26 @@
 __spark_entry__.queries() entry at a given sf dir AND its oracle_sql()
 in DuckDB, compare row count + order-insensitive value multiset.
 
+Queries WITHOUT an oracle (hash families, approximate ops) are pinned
+by golden value digests instead: tools/goldens.json records the md5 of
+each result's sorted row multiset per sf dir, so regressions in the
+rows-only operators are caught here, not just by pytest. Regenerate
+after an intentional change with --update-goldens.
+
 Usage: python tools/check_driver_contract.py [sf_dir] [query ...]
+       python tools/check_driver_contract.py [sf_dir] --update-goldens
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
+import os
 import sys
 import time
+
+GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens.json")
 
 sys.path.insert(0, "/root/repo")
 
@@ -107,10 +119,17 @@ def row_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    if len(sys.argv) > 1 and not sys.argv[1].startswith("/"):
-        sys.exit(f"first arg must be an sf dir path, got {sys.argv[1]!r}")
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--update-goldens"]
+    update_goldens = "--update-goldens" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if argv and not argv[0].startswith("/"):
+        sys.exit(f"first arg must be an sf dir path, got {argv[0]!r}")
+    only = set(argv[1:])
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    goldens: dict = {}
+    if os.path.exists(GOLDENS_PATH):
+        with open(GOLDENS_PATH) as fh:
+            goldens = json.load(fh)
 
     import __spark_entry__ as entry
     from logparser_spark.session import build_session
@@ -145,9 +164,29 @@ def main():
             if len(srows) == 0:
                 failures.append(name)
                 print(f"FAIL {name}: rows-only query returned 0 rows")
+                continue
+            digest = hashlib.md5(
+                "\n".join(row_multiset(scols, srows)).encode()
+            ).hexdigest()
+            want = goldens.get(sf_key, {}).get(name)
+            if update_goldens:
+                goldens.setdefault(sf_key, {})[name] = digest
+                print(f"pin  {name}: golden {digest[:12]} ({len(srows)} rows)")
+            elif want is None:
+                print(
+                    f"ok   {name}: rows-only, no golden pinned "
+                    f"({len(srows)} rows, {time.monotonic()-t0:.1f}s)"
+                )
+            elif digest != want:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: golden mismatch {digest[:12]} != {want[:12]} "
+                    f"({len(srows)} rows) — intentional change? --update-goldens"
+                )
             else:
                 print(
-                    f"ok   {name}: rows-only ({len(srows)} rows, {time.monotonic()-t0:.1f}s)"
+                    f"ok   {name}: rows-only, golden match "
+                    f"({len(srows)} rows, {time.monotonic()-t0:.1f}s)"
                 )
             continue
         try:
@@ -186,6 +225,10 @@ def main():
         else:
             failures.append(name)
 
+    if update_goldens:
+        with open(GOLDENS_PATH, "w") as fh:
+            json.dump(goldens, fh, indent=1, sort_keys=True)
+        print(f"goldens written to {GOLDENS_PATH}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
