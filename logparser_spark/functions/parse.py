@@ -136,8 +136,183 @@ def _exceeds(s: pd.Series, bound: str) -> pd.Series:
     return (n > len(bound)) | ((n == len(bound)) & (t > bound))
 
 
+# ---------------------------------------------------------------------
+# Arrow-native parse engine (the hot path)
+# ---------------------------------------------------------------------
+# pyarrow.compute kernels are C++ loops over Arrow buffers (RE2 regex,
+# vectorized string ops) — measured ~4x faster than the pandas
+# object-dtype implementation below, which pays a Python call per row
+# inside every str accessor. RE2's ASCII \d/\s semantics also match the
+# reference's Java Pattern defaults (and the DuckDB oracle's RE2)
+# EXACTLY, where Python re's Unicode \d would accept e.g. Arabic-Indic
+# digits the reference rejects. Within the codec contract (printable
+# ASCII) the two engines are value-identical — pinned by
+# test_parse_units.test_arrow_engine_equals_pandas_engine.
+
+_RX_NAMED = (
+    r"^(?P<g_ts>\d+\.\d+)\s+(?P<g_rt>\d+)\s+(?P<g_ip>\d+\.\d+\.\d+\.\d+)\s+"
+    r"(?P<g_action>[A-Z_]+)(?:/(?P<g_status>\d{3}))?\s+"
+    r"(?P<g_bytes>\d+)\s+(?P<g_method>\S+)\s+(?P<g_url>\S+)\s+"
+    r"(?P<g_user>\S+|-)\s+(?P<g_hier>\S+)\s+(?P<g_ct>\S+)"
+)
+_DOMAIN_RX_NAMED = r"^(?:https?://)?(?P<d>[^/:]+)(?::\d+)?(?:/.*)?$"
+_TS_RX_NAMED = r"^(?P<s>\d+)\.(?P<f>\d+)$"
+
+
+def _exceeds_arrow(s, bound: str):
+    """Arrow twin of ``_exceeds``: digit-string > bound, exactly.
+    Null (unmatched row) -> False, like the pandas fillna('')."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_ltrim(s, characters="0")
+    n = pc.utf8_length(t)
+    over = pc.or_(
+        pc.greater(n, len(bound)),
+        pc.and_(pc.equal(n, len(bound)), pc.greater(t, bound)),
+    )
+    return pc.fill_null(over, False)
+
+
+def parse_lines_arrow(arr) -> dict:
+    """Parse an Arrow string array of log lines into a dict of Arrow
+    arrays keyed by PARSED_SCHEMA field name (exact target types)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(arr, _RX_NAMED)
+    matched = st.is_valid()
+
+    def g(name):
+        return pc.struct_field(st, name)
+
+    num_over = pc.or_(
+        _exceeds_arrow(g("g_rt"), RT_MAX), _exceeds_arrow(g("g_bytes"), BYTES_MAX)
+    )
+    sf = pc.extract_regex(g("g_ts"), _TS_RX_NAMED)
+    secs_s, frac_s = pc.struct_field(sf, "s"), pc.struct_field(sf, "f")
+    sec_ok = pc.invert(_exceeds_arrow(secs_s, SECS_MAX))
+
+    user = g("g_user")
+    uname_ok = pc.fill_null(
+        pc.and_(
+            pc.and_(pc.not_equal(user, ""), pc.not_equal(user, "-")),
+            pc.or_(
+                pc.match_substring(pc.utf8_lower(user), "user"),
+                pc.greater_equal(pc.count_substring(user, "_"), 2),
+            ),
+        ),
+        False,
+    )
+    valid = pc.and_(pc.and_(matched, pc.invert(num_over)), pc.and_(sec_ok, uname_ok))
+
+    def masked(arr_in, null_type):
+        return pc.if_else(valid, arr_in, pa.scalar(None, null_type))
+
+    # integral-microsecond epoch: valid implies sec_ok, so the casts and
+    # the multiply cannot overflow int64
+    secs = pc.cast(pc.if_else(valid, secs_s, "0"), pa.int64())
+    frac6 = pc.cast(
+        pc.utf8_slice_codeunits(
+            pc.ascii_rpad(pc.if_else(valid, frac_s, "0"), width=6, padding="0"), 0, 6
+        ),
+        pa.int64(),
+    )
+    epoch_us = masked(pc.add(pc.multiply(secs, 1_000_000), frac6), pa.int64())
+
+    action = pc.fill_null(g("g_action"), "")
+    denied = pc.or_(
+        pc.match_substring(action, "DENIED"), pc.match_substring(action, "DENY")
+    )
+    hit200 = pc.or_(
+        pc.or_(pc.match_substring(action, "MISS"), pc.match_substring(action, "HIT")),
+        pc.or_(
+            pc.match_substring(action, "TUNNEL"), pc.match_substring(action, "REFRESH")
+        ),
+    )
+    fallback = pc.if_else(
+        denied, pa.scalar(403, pa.int32()),
+        pc.if_else(hit200, pa.scalar(200, pa.int32()), pa.scalar(0, pa.int32())),
+    )
+    s_str = pc.fill_null(g("g_status"), "")
+    has_status = pc.not_equal(s_str, "")
+    status = pc.if_else(
+        has_status, pc.cast(pc.if_else(has_status, s_str, "0"), pa.int32()), fallback
+    )
+
+    url = g("g_url")
+    dm = pc.struct_field(pc.extract_regex(url, _DOMAIN_RX_NAMED), "d")
+    domain = pc.if_else(pc.equal(url, "-"), "", pc.fill_null(dm, ""))
+
+    # precedence mirrors the reference's code order (see pandas engine)
+    null_s = pa.scalar(None, pa.string())
+    reason = pc.if_else(
+        pc.invert(matched),
+        "regex_mismatch",
+        pc.if_else(
+            num_over,
+            "numeric_overflow",
+            pc.if_else(
+                pc.invert(uname_ok),
+                "invalid_username",
+                pc.if_else(pc.invert(sec_ok), "bad_timestamp", null_s),
+            ),
+        ),
+    )
+
+    return {
+        "epoch_us": epoch_us,
+        "ip": masked(g("g_ip"), pa.string()),
+        "username": masked(pc.utf8_trim_whitespace(user), pa.string()),
+        "url": masked(url, pa.string()),
+        "status_code": masked(status, pa.int32()),
+        "domain": masked(domain, pa.string()),
+        "response_time_ms": masked(
+            pc.cast(pc.if_else(valid, g("g_rt"), "0"), pa.int32()), pa.int32()
+        ),
+        "response_size_bytes": masked(
+            pc.cast(pc.if_else(valid, g("g_bytes"), "0"), pa.int64()), pa.int64()
+        ),
+        "action": masked(action, pa.string()),
+        "http_method": masked(g("g_method"), pa.string()),
+        "valid": pc.cast(valid, pa.int32()),
+        "reject_reason": reason,
+    }
+
+
+_ARROW_TYPE_MAPPER = None
+
+
+def _parsed_arrow_to_pandas(cols: dict) -> pd.DataFrame:
+    """Arrow parse output -> the pandas frame a pandas_udf returns,
+    with nullable Int32/Int64 (NOT float64 — epoch_us must stay exact)."""
+    global _ARROW_TYPE_MAPPER
+    import pyarrow as pa
+
+    if _ARROW_TYPE_MAPPER is None:
+        m = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}
+        _ARROW_TYPE_MAPPER = m.get
+    return pd.DataFrame(
+        {
+            name: arr.to_pandas(types_mapper=_ARROW_TYPE_MAPPER)
+            for name, arr in cols.items()
+        }
+    )
+
+
 def parse_lines(lines: pd.Series) -> pd.DataFrame:
-    """Batch-parse decoded log lines into the PARSED_SCHEMA columns."""
+    """Batch-parse decoded log lines into the PARSED_SCHEMA columns
+    (Arrow engine; see parse_lines_pandas for the reference twin)."""
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(lines.astype(object).where(lines.notna(), ""))
+    return _parsed_arrow_to_pandas(parse_lines_arrow(arr))
+
+
+def parse_lines_pandas(lines: pd.Series) -> pd.DataFrame:
+    """Pandas/Python-re parse engine — the semantic reference twin of
+    ``parse_lines_arrow``, kept as a test oracle (and the only engine
+    difference is Python re's Unicode \\d/\\s vs RE2/Java's ASCII —
+    outside the printable-ASCII codec contract)."""
     ext = lines.str.extract(LOG_PATTERN)
     matched = ext[0].notna()
 
@@ -296,24 +471,6 @@ def _arrow_schema_with_parsed(df):
     return StructType(list(df.schema.fields) + list(PARSED_SCHEMA.fields))
 
 
-def _parsed_to_arrow_arrays(parsed: pd.DataFrame):
-    import pyarrow as pa
-
-    types = {
-        "epoch_us": pa.int64(),
-        "status_code": pa.int32(),
-        "response_time_ms": pa.int32(),
-        "response_size_bytes": pa.int64(),
-        "valid": pa.int32(),
-    }
-    arrays = []
-    for f in PARSED_SCHEMA.fields:
-        col = parsed[f.name]
-        t = types.get(f.name, pa.string())
-        arrays.append(pa.Array.from_pandas(col, type=t))
-    return arrays
-
-
 def with_parsed(df, tokens_col: str = "tokens", from_text: str | None = None):
     """Attach parsed columns + a proper TimestampType ``time`` column.
 
@@ -355,8 +512,10 @@ def parse_tokens_map_in_arrow(df, tokens_col: str = "tokens"):
     def gen(batches):
         for batch in batches:
             lines = _decode_list_array(batch.column(tok_idx))
-            parsed = parse_lines(pd.Series(lines, dtype=object))
-            arrays = list(batch.columns) + _parsed_to_arrow_arrays(parsed)
+            parsed = parse_lines_arrow(pa.array(lines, type=pa.string()))
+            arrays = list(batch.columns) + [
+                parsed[f.name] for f in PARSED_SCHEMA.fields
+            ]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=[f.name for f in out_schema.fields]
             )

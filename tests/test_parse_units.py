@@ -66,6 +66,53 @@ def test_timestamp_microseconds():
     assert r.epoch_us == 1709251200_123000
 
 
+def test_arrow_engine_equals_pandas_engine(tiny_lines):
+    """The Arrow/RE2 hot path and the pandas/Python-re reference twin
+    must agree exactly on contract inputs (printable ASCII), including
+    every reject branch and the overflow/timestamp bound edges."""
+    from logparser_spark.functions.parse import parse_lines_pandas
+
+    edges = pd.Series(
+        [
+            "",  # empty -> regex_mismatch
+            "CORRUPT 1 @@@",
+            "1709251200.123 truncated",
+            # overflow bounds, exact and +1
+            "1.0 2147483647 1.2.3.4 TCP_HIT/200 5 GET http://a/ user1 D t",
+            "1.0 2147483648 1.2.3.4 TCP_HIT/200 5 GET http://a/ user1 D t",
+            "1.0 5 1.2.3.4 TCP_HIT/200 9223372036854775807 GET http://a/ user1 D t",
+            "1.0 5 1.2.3.4 TCP_HIT/200 9223372036854775808 GET http://a/ user1 D t",
+            "9223372036853.999 5 1.2.3.4 TCP_HIT/200 5 GET http://a/ user1 D t",
+            "9223372036854.000 5 1.2.3.4 TCP_HIT/200 5 GET http://a/ user1 D t",
+            # leading zeros must not defeat the bound checks
+            "0000000001.5 0002147483648 1.2.3.4 TCP_HIT/200 5 GET http://a/ user1 D t",
+            # overflow + invalid username: precedence -> numeric_overflow
+            "1.0 2147483648 1.2.3.4 TCP_HIT/200 5 GET http://a/ - D t",
+            # bad ts + invalid username: precedence -> invalid_username
+            "9223372036854.0 5 1.2.3.4 TCP_HIT/200 5 GET http://a/ admin D t",
+            # status fallback branches
+            "1.0 5 1.2.3.4 TCP_DENIED 5 GET http://a/ user1 D t",
+            "1.0 5 1.2.3.4 NONE 5 GET http://a/ user1 D t",
+            # domain forms
+            "1.0 5 1.2.3.4 TCP_HIT/200 5 GET site:443 user1 D t",
+            "1.0 5 1.2.3.4 TCP_HIT/200 5 GET - user1 D t",
+            # multi-space separators (\\s+)
+            "1.5   7  1.2.3.4  TCP_HIT/200  5  GET  http://a/b  x_y_z  D  t",
+        ],
+        dtype=object,
+    )
+    sample = pd.concat(
+        [tiny_lines["line"].head(3000), edges], ignore_index=True
+    ).astype(object)
+    a = parse_lines(sample)
+    b = parse_lines_pandas(sample)
+    for col in a.columns:
+        av = a[col].astype("object").where(a[col].notna(), "&N")
+        bv = b[col].astype("object").where(b[col].notna(), "&N")
+        mism = (av != bv).sum()
+        assert mism == 0, f"{col}: {mism} mismatches"
+
+
 def test_vectorized_equals_oracle_on_fixture_sample(tiny_lines):
     sample = tiny_lines["line"].head(2000).reset_index(drop=True)
     vec = parse_lines(sample)
