@@ -25,6 +25,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -465,6 +466,49 @@ def _decode_list_array(col) -> list[str]:
     return out
 
 
+def _decode_list_array_to_arrow(col):
+    """list<int32> code points -> Arrow StringArray, with an all-ASCII
+    fast path that never materializes a Python string: the flattened
+    values buffer reinterpreted as utf-8 bytes + the list offsets ARE
+    the string array (utf-8 == code point for < 128). Non-ASCII or
+    null-bearing batches take the utf-32 bulk-decode path."""
+    import pyarrow as pa
+
+    ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if ch.null_count == 0 and len(ch.values) > 0:
+        flat = ch.values.to_numpy(zero_copy_only=False)
+        if flat.min() >= 0 and flat.max() < 128:
+            off = ch.offsets.to_numpy()
+            offsets = (off - off[0]).astype(np.int32)
+            return pa.StringArray.from_buffers(
+                len(offsets) - 1,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(flat.astype(np.uint8).tobytes()),
+            )
+    return pa.array(_decode_list_array(ch), type=pa.string())
+
+
+def make_parse_tokens_arrow_udf():
+    """Scalar *arrow* UDF (Spark 4.1+): tokens ride the Arrow socket as
+    a zero-copy ListArray and the parsed struct rides back as a
+    StructArray — no pandas Series-of-ndarrays materialization on
+    either side (the single biggest Python-side cost of the pandas-UDF
+    formulation), while keeping the zip architecture where the fat
+    payload never leaves the JVM."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(PARSED_SCHEMA)
+    def parse_tokens_arrow(tokens: pa.Array) -> pa.Array:
+        lines = _decode_list_array_to_arrow(tokens)
+        cols = parse_lines_arrow(lines)
+        return pa.StructArray.from_arrays(
+            [cols[f.name] for f in PARSED_SCHEMA.fields],
+            names=[f.name for f in PARSED_SCHEMA.fields],
+        )
+
+    return parse_tokens_arrow
+
+
 def _arrow_schema_with_parsed(df):
     from pyspark.sql.types import StructType
 
@@ -488,11 +532,13 @@ def with_parsed(df, tokens_col: str = "tokens", from_text: str | None = None):
     JVM-side so Catalyst sees a native TimestampType column (prunable,
     comparable, pushdown-friendly).
     """
-    udf_col = (
-        parse_text_udf(F.col(from_text))
-        if from_text
-        else parse_tokens_udf(F.col(tokens_col))
-    )
+    if from_text:
+        udf_col = parse_text_udf(F.col(from_text))
+    else:
+        try:  # Spark 4.1+ scalar arrow UDF — no pandas on either side
+            udf_col = make_parse_tokens_arrow_udf()(F.col(tokens_col))
+        except ImportError:
+            udf_col = parse_tokens_udf(F.col(tokens_col))
     df = df.withColumn("_p", udf_col)
     parsed_cols = [F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_SCHEMA.fields]
     df = df.select("*", *parsed_cols).drop("_p")
