@@ -65,6 +65,8 @@ def create_table_sql(table: str, schema_ddl: str) -> str:
         "TBLPROPERTIES ("
         "'write.distribution-mode' = 'none', "  # direct task writes — same
         # no-pre-shuffle strategy the parquet writer measured faster
+        "'write.parquet.compression-codec' = 'zstd', "  # faster AND smaller
+        # than snappy on the token payload (measured, sinks.py)
         "'write.target-file-size-bytes' = '536870912')"
     )
 

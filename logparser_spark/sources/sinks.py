@@ -55,7 +55,14 @@ class MultiSinkWriter:
         salt_buckets: int = 8,
         pre_shuffle: bool = False,
         max_records_per_file: int = 2_000_000,
+        compression: str = "zstd",
     ):
+        # zstd measured BOTH faster and smaller than the snappy default
+        # on this token-heavy payload (10M rows, local[32]: 15.5s/488MB
+        # vs 21.7s/672MB): the extra compute is cheaper than the extra
+        # bytes through the page cache — and at 100 TB the 27% smaller
+        # footprint also cuts every downstream scan.
+        self.compression = compression
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.staging_root = os.path.join(root, "_staging")
@@ -83,7 +90,9 @@ class MultiSinkWriter:
             out = out.repartition("category", "day", "_salt").drop("_salt")
         out.write.mode("overwrite").option(
             "maxRecordsPerFile", self.max_records_per_file
-        ).partitionBy(*SINK_PARTITION_COLS).parquet(staged)
+        ).option("compression", self.compression).partitionBy(
+            *SINK_PARTITION_COLS
+        ).parquet(staged)
 
         moved = self._promote(staged, chunk_id)
         shutil.rmtree(staged, ignore_errors=True)
