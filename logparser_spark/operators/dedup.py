@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from logparser_spark.operators.util import spread
+
 NGRAM = 3
 JACCARD_THRESHOLD = 0.8
 MINHASH_FUNCS = 128
@@ -202,6 +204,7 @@ def minhash_lsh_pairs(
     (1 - 0.8^2)^64 < 1e-28, so the verified output equals the all-pairs
     baseline (the DuckDB oracle) while doing ~linear work at scale.
     """
+    docs = spread(docs)
     sig = minhash_signatures(docs, n_funcs)
     n_bands = n_funcs // rows_per_band
     # band_hash = xxhash64 over the band's slice of the signature; one

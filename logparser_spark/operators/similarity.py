@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from logparser_spark.operators.util import spread
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -209,6 +211,7 @@ def cosine_near_dup_lsh(
     Recall vs the exact baseline is probabilistic (measured in tests);
     tighten (n_tables, n_bits) to trade cost for recall.
     """
+    emb = spread(emb)
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     bucket_udf = _bucket_udf(_hyperplanes(dim, n_tables, n_bits, seed))

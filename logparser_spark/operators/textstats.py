@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # ties broken by fixed priority (en > es > de > fr > zh)
 LANG_STOPWORDS = {
