@@ -42,7 +42,13 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> line -> tokens -> parse UDF -> category. The full
     pipeline head, with event_id standing in for doc_id."""
-    ev = events(spark, sf_dir)
+    return derive_routed(events(spark, sf_dir))
+
+
+def derive_routed(ev: DataFrame) -> DataFrame:
+    """The batch/stream-shared derivation (a streaming frame composes
+    through the same stages verbatim — the point of declaring them as
+    DataFrame -> DataFrame transforms)."""
     df = ev.select(
         "event_id",
         F.col("event_type").alias("source"),
@@ -267,6 +273,45 @@ def q_keep_latest(spark, sf_dir):
     )
 
 
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming under the driver contract: the identical
+    parse->route lineage over ``readStream`` (availableNow), windowed
+    per-category counts in complete mode — deterministic, so it value-
+    matches the same batch SQL oracle. Covers SURVEY §2.8."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source needs a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    routed = derive_routed(raw)
+    counts = (
+        routed.filter(F.col("valid") == 1)
+        .groupBy(F.window("time", "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum("response_size_bytes").alias("bytes_total"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "category",
+            "row_count",
+            "bytes_total",
+        )
+    )
+    name = "stream_hourly_result"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start_us", "category")
+
+
 def _cte():
     return duckdb_parsed_cte()
 
@@ -357,6 +402,14 @@ LIMIT 50 OFFSET 100""",
     "dataset_period": _cte()
     + "SELECT MIN(epoch_us) AS min_time_us, MAX(epoch_us) AS max_time_us FROM parsed WHERE valid",
     "enriched_rows": _enriched_rows_oracle(),
+    "stream_hourly": _cte()
+    + """
+SELECT CAST(epoch(date_trunc('hour', "time")) AS BIGINT) * 1000000 AS window_start_us,
+       category,
+       COUNT(*) AS row_count,
+       CAST(SUM(response_size_bytes) AS BIGINT) AS bytes_total
+FROM parsed WHERE valid
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "keep_latest": _cte()
     + """
 SELECT username, event_id, epoch_us FROM (
@@ -380,5 +433,6 @@ PIPELINE_QUERIES = {
     "page_query": q_page_query,
     "dataset_period": q_dataset_period,
     "enriched_rows": q_enriched_rows,
+    "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
 }
