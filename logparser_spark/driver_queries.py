@@ -273,6 +273,40 @@ def q_keep_latest(spark, sf_dir):
     )
 
 
+def q_json_roundtrip(spark, sf_dir):
+    """P14: JSON encode/decode at the edge (to_json(struct) ->
+    from_json), value-checked by recovering the original columns — the
+    serialization itself is engine-specific, the round-trip is not."""
+    from pyspark.sql.types import StructType
+
+    df = routed_events(spark, sf_dir).filter(F.col("valid") == 1).select(
+        "event_id", "ip", "username", "url", "status_code", "response_size_bytes"
+    )
+    schema = StructType(df.schema.fields)
+    j = df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+    back = j.select(F.from_json("json", schema).alias("r")).select("r.*")
+    return back.orderBy("event_id")
+
+
+def q_upsert_replace(spark, sf_dir):
+    """O5/O6 under the contract: per-username daily request counts where
+    a later-half-of-month load REPLACES the first-half row on conflict
+    (keep-latest by version). Deterministic, SQL-expressible."""
+    from logparser_spark.operators.upsert import upsert_replace
+
+    df = routed_events(spark, sf_dir).filter(F.col("valid") == 1)
+    counts = df.groupBy("username").agg(
+        F.count(F.lit(1)).alias("request_count"),
+        F.max("epoch_us").alias("version"),
+    )
+    first = df.filter(F.col("epoch_us") < _PAGE_LO).groupBy("username").agg(
+        F.count(F.lit(1)).alias("request_count"),
+        F.max("epoch_us").alias("version"),
+    )
+    merged = upsert_replace(first, counts, keys=["username"], version_col="version")
+    return merged.orderBy("username")
+
+
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming under the driver contract: the identical
     parse->route lineage over ``readStream`` (availableNow), windowed
@@ -402,6 +436,25 @@ LIMIT 50 OFFSET 100""",
     "dataset_period": _cte()
     + "SELECT MIN(epoch_us) AS min_time_us, MAX(epoch_us) AS max_time_us FROM parsed WHERE valid",
     "enriched_rows": _enriched_rows_oracle(),
+    "json_roundtrip": _cte()
+    + """
+SELECT event_id, ip, username, url, status_code, response_size_bytes
+FROM parsed WHERE valid ORDER BY event_id""",
+    "upsert_replace": _cte()
+    + f"""
+, all_c AS (
+  SELECT username, COUNT(*) AS request_count, MAX(epoch_us) AS version
+  FROM parsed WHERE valid GROUP BY 1
+), first_c AS (
+  SELECT username, COUNT(*) AS request_count, MAX(epoch_us) AS version
+  FROM parsed WHERE valid AND epoch_us < {_PAGE_LO} GROUP BY 1
+), u AS (
+  SELECT *, 0 AS _src FROM first_c UNION ALL SELECT *, 1 AS _src FROM all_c
+)
+SELECT username, request_count, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY username ORDER BY version DESC, _src DESC) AS rn
+  FROM u
+) WHERE rn = 1 ORDER BY username""",
     "stream_hourly": _cte()
     + """
 SELECT CAST(epoch(date_trunc('hour', "time")) AS BIGINT) * 1000000 AS window_start_us,
@@ -433,6 +486,8 @@ PIPELINE_QUERIES = {
     "page_query": q_page_query,
     "dataset_period": q_dataset_period,
     "enriched_rows": q_enriched_rows,
+    "json_roundtrip": q_json_roundtrip,
+    "upsert_replace": q_upsert_replace,
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
 }
