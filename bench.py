@@ -138,7 +138,9 @@ def _pipeline_throughput_block() -> dict:
     from logparser_spark.fixtures import ensure_fixture
 
     input_path = ensure_fixture("bench")
-    rec = pipeline_run(f"local[{CPUS}]", input_path, "/tmp/bench_driver_pipeline")
+    rec = pipeline_run(
+        f"local[{CPUS}]", input_path, "/tmp/bench_driver_pipeline", repeats=3
+    )
     shutil.rmtree("/tmp/bench_driver_pipeline", ignore_errors=True)
     return {
         "pipeline_rows": rec["rows"],
