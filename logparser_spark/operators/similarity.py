@@ -129,7 +129,7 @@ def cosine_near_dup_pairs(
 def cosine_near_dup_blocked(
     emb: DataFrame,
     threshold: float = 0.35,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -149,6 +149,15 @@ def cosine_near_dup_blocked(
     near-dup thresholds (>= 0.9) prefer ``cosine_near_dup_lsh`` which
     prunes candidates instead of spreading them.
     """
+    if n_blocks is None:
+        # B(B+1)/2 groups ~ parallelism keeps every core busy without
+        # over-replicating (each vector ships B copies); B also divides
+        # per-group memory (~2N/B * dim), so bigger clusters handle
+        # bigger N automatically.
+        import math
+
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(2, math.isqrt(2 * par))
     out_schema = "vec_a long, vec_b long, cosine_x10000 long"
 
     def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
