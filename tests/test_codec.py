@@ -47,3 +47,21 @@ def test_int64_out_of_range_tokens_quarantine_not_wrap():
 def test_negative_int64_tokens_fallback():
     s = pd.Series([[-1, 65]], dtype=object)
     assert list(decode_series(s)) == ["�A"]
+
+
+def test_decode_list_array_to_arrow_paths():
+    """ASCII fast path (buffer reinterpret), non-ASCII fallback, and
+    null rows must all yield the same strings as the per-row decoder."""
+    import pyarrow as pa
+
+    from logparser_spark.functions.parse import _decode_list_array_to_arrow
+
+    ascii_rows = [[72, 105], [32, 126], []]
+    arr = pa.array(ascii_rows, type=pa.list_(pa.int32()))
+    assert _decode_list_array_to_arrow(arr).to_pylist() == ["Hi", " ~", ""]
+
+    mixed = pa.array([[0x65E5, 0x672C], [65]], type=pa.list_(pa.int32()))
+    assert _decode_list_array_to_arrow(mixed).to_pylist() == ["日本", "A"]
+
+    with_null = pa.array([[65], None, [66]], type=pa.list_(pa.int32()))
+    assert _decode_list_array_to_arrow(with_null).to_pylist() == ["A", "", "B"]
