@@ -133,7 +133,7 @@ def _pipeline_throughput_block() -> dict:
     the deterministic 10M-row tokenized-sequence fixture — the number
     comparable to the reference's single-node 155k lines/s (which does
     strictly less work per row: no enrichment, no routing, no
-    aggregate stage). Warmup pass + best of 2 timed trials (this VM's
+    aggregate stage). Warmup pass + best of 3 timed trials (this VM's
     available CPU drifts with host contention)."""
     from logparser_spark.fixtures import ensure_fixture
 

@@ -94,11 +94,10 @@ class LogPipelineAPI:
                 ks = json.load(fh)
             if name in ks:
                 return ks[name]
-        import pyarrow.parquet as pq
+        from logparser_spark.sources.sinks import footer_row_count
 
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in glob.glob(os.path.join(self.root, "summary", name, "*.parquet"))
+        return footer_row_count(
+            glob.glob(os.path.join(self.root, "summary", name, "*.parquet"))
         )
 
     # -- GET /api/logs ------------------------------------------------

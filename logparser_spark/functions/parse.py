@@ -445,8 +445,11 @@ def _decode_list_array(col) -> list[str]:
 
     ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     off = ch.offsets.to_numpy()
-    flat = ch.values.to_numpy(zero_copy_only=False)
     base = off[0]
+    # ch.values is the FULL child array even when ch is a sliced view
+    # (offsets stay absolute), so trim to this view's span before
+    # rebasing to 0 — otherwise every decoded row shifts by `base`.
+    flat = ch.values.to_numpy(zero_copy_only=False)[base : off[-1]]
     try:
         s = flat.astype("<u4").tobytes().decode("utf-32-le")
         out = [s[off[i] - base : off[i + 1] - base] for i in range(len(off) - 1)]
@@ -476,9 +479,11 @@ def _decode_list_array_to_arrow(col):
 
     ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if ch.null_count == 0 and len(ch.values) > 0:
-        flat = ch.values.to_numpy(zero_copy_only=False)
-        if flat.min() >= 0 and flat.max() < 128:
-            off = ch.offsets.to_numpy()
+        off = ch.offsets.to_numpy()
+        # trim the full child values to this view's span (offsets are
+        # absolute on sliced views) before rebasing to 0
+        flat = ch.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]]
+        if len(flat) == 0 or (flat.min() >= 0 and flat.max() < 128):
             offsets = (off - off[0]).astype(np.int32)
             return pa.StringArray.from_buffers(
                 len(offsets) - 1,

@@ -291,6 +291,10 @@ def _train_centroids(
     best = x @ x[first]
     for _ in range(1, k):
         nxt = int(np.argmin(best))
+        if best[nxt] >= 1.0 - 1e-12:
+            # every remaining point duplicates a chosen centroid —
+            # stop instead of appending repeats (k shrinks honestly)
+            break
         chosen.append(nxt)
         best = np.maximum(best, x @ x[nxt])
     c = x[chosen].copy()

@@ -118,10 +118,12 @@ def run_pipeline(
         # Caveat: Observation accumulators can OVERCOUNT under
         # speculative execution or stage reattempts (each successful
         # duplicate attempt adds its metrics). When speculation is on,
-        # the manifest record comes from parquet footer counts of the
-        # promoted files instead — exact by construction.
+        # the manifest record comes from the WRITER's exact count source
+        # (parquet footers / Iceberg chunk-tag count) — each sink format
+        # owns its own, so the pluggable-writer seam stays format-agnostic.
         speculative = (
             spark.conf.get("spark.speculation", "false").lower() == "true"
+            and hasattr(writer, "exact_chunk_counts")
         )
         obs = Observation(chunk_id)
         routed = routed.observe(
@@ -135,9 +137,7 @@ def run_pipeline(
         writer.write_chunk(routed, chunk_id)
 
         if speculative:
-            from logparser_spark.sources.sinks import chunk_counts_from_footers
-
-            rows, cat_counts = chunk_counts_from_footers(out_root, chunk_id)
+            rows, cat_counts = writer.exact_chunk_counts(chunk_id)
         else:
             vals = obs.get
             cat_counts = {c: vals[c] for c in CATEGORIES if vals[c]}
@@ -209,12 +209,11 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
     import glob as _glob
     import json
 
-    import pyarrow.parquet as _pq
+    from logparser_spark.sources.sinks import footer_row_count
 
     ks = {
-        name: sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(out_root, "summary", name, "*.parquet"))
+        name: footer_row_count(
+            _glob.glob(os.path.join(out_root, "summary", name, "*.parquet"))
         )
         for name in results
     }

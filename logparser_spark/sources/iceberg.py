@@ -149,6 +149,17 @@ class IcebergMultiSinkWriter:
             f"DELETE FROM {self.table} WHERE _chunk_id = '{chunk_id}'"
         )
 
+    def exact_chunk_counts(self, chunk_id: str) -> tuple[int, dict[str, int]]:
+        """Exact counts for one chunk from the table itself (the chunk
+        tag prunes to the chunk's files; Iceberg answers COUNT from
+        manifests where possible)."""
+        rows = self.spark.sql(
+            f"SELECT category, COUNT(*) AS n FROM {self.table} "
+            f"WHERE _chunk_id = '{chunk_id}' GROUP BY category"
+        ).collect()
+        per_cat = {r["category"]: r["n"] for r in rows}
+        return sum(per_cat.values()), per_cat
+
     def last_snapshot_id(self, chunk_id: str) -> int | None:
         return self._snapshots.get(chunk_id)
 

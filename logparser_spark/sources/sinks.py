@@ -111,12 +111,29 @@ class MultiSinkWriter:
             n += 1
         return n
 
+    def exact_chunk_counts(self, chunk_id: str) -> tuple[int, dict[str, int]]:
+        """Writer-owned exact (total, per-category) counts of a promoted
+        chunk — the count source of record when Observation accumulators
+        can overcount (speculation / stage reattempts). Each sink format
+        implements its own (parquet: footers; Iceberg: a metadata-pruned
+        count over the chunk tag)."""
+        return chunk_counts_from_footers(self.root, chunk_id)
+
     def remove_chunk(self, chunk_id: str) -> None:
         """Idempotent undo (re-run of a chunk that crashed mid-promote)."""
         for f in glob.glob(
             os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
         ):
             os.remove(f)
+
+
+def footer_row_count(paths) -> int:
+    """Sum parquet footer row counts — exact, metadata-only, no Spark
+    job. The one shared implementation behind every footer-count use
+    (chunk counts, summary _k.json, API fast-path fallback)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in paths)
 
 
 def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, int]]:
@@ -134,9 +151,7 @@ def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, 
     for f in glob.glob(
         os.path.join(data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
     ):
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(f).metadata.num_rows
+        n = footer_row_count([f])
         rel = os.path.relpath(f, data_dir)
         cat = next(
             (

@@ -65,3 +65,23 @@ def test_decode_list_array_to_arrow_paths():
 
     with_null = pa.array([[65], None, [66]], type=pa.list_(pa.int32()))
     assert _decode_list_array_to_arrow(with_null).to_pylist() == ["A", "", "B"]
+
+
+def test_decode_list_array_handles_sliced_views():
+    """A sliced ListArray keeps ABSOLUTE offsets over the full child
+    values array; both decode paths must trim before rebasing (a
+    review-caught bug shifted every decoded row by the slice base)."""
+    import pyarrow as pa
+
+    from logparser_spark.functions.parse import (
+        _decode_list_array,
+        _decode_list_array_to_arrow,
+    )
+
+    full = pa.array([[72, 73], [65, 66, 67], [68]], type=pa.list_(pa.int32()))
+    sliced = full.slice(1)
+    assert _decode_list_array_to_arrow(sliced).to_pylist() == ["ABC", "D"]
+    assert _decode_list_array(sliced) == ["ABC", "D"]
+    # non-ASCII sliced view exercises the utf-32 fallback path
+    uni = pa.array([[0x65E5], [0x672C, 65], [66]], type=pa.list_(pa.int32()))
+    assert _decode_list_array_to_arrow(uni.slice(1)).to_pylist() == ["本A", "B"]

@@ -97,12 +97,11 @@ def _coarse_type(t) -> str:
     return str(t)
 
 
-def type_mismatches(sdf, con, sql) -> list[str]:
+def type_mismatches(sdf, oracle_schema) -> list[str]:
     """Compare coarse Arrow-type classes per column name, Spark vs oracle."""
     spark_types = {f.name: _coarse_type(f.dataType.simpleString()) for f in sdf.schema}
-    atab = con.execute(sql).arrow()
     out = []
-    for field in atab.schema:
+    for field in oracle_schema:
         sc = spark_types.get(field.name)
         oc = _coarse_type(field.type)
         if sc is not None and sc != oc:
@@ -190,17 +189,21 @@ def main():
                 )
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # ONE execution: the arrow table carries both the values and
+            # the canonical types (fetchall + a second run would double
+            # the oracle cost per query)
+            atab = con.execute(oracles[name]).arrow()
+            ocols = list(atab.column_names)
+            col_vals = [atab.column(i).to_pylist() for i in range(atab.num_columns)]
+            orows = list(zip(*col_vals)) if atab.num_rows else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         ok = True
         try:
-            tmis = type_mismatches(sdf, con, oracles[name])
-        except Exception as e:  # arrow fetch can fail on exotic types
+            tmis = type_mismatches(sdf, atab.schema)
+        except Exception as e:  # exotic types
             tmis = [f"<type check errored: {type(e).__name__}: {e}>"]
         if tmis:
             print(f"FAIL {name}: type-portability {tmis}")
