@@ -150,6 +150,11 @@ def run_pipeline(
             if hasattr(writer, "last_snapshot_id")
             else None
         )
+        partitions = (
+            writer.partition_metrics(chunk_id)
+            if hasattr(writer, "partition_metrics")
+            else None
+        )
         manifest.commit_chunk(
             {
                 "chunk_id": chunk_id,
@@ -159,6 +164,10 @@ def run_pipeline(
                 "rows_per_category": cat_counts,
                 "wall_sec": round(dt, 3),
                 "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
+                # per-partition lineage + throughput: rows/bytes/files per
+                # (category, day) dir this chunk produced, and the chunk
+                # rate attributed per partition by row share
+                **({"partitions": partitions} if partitions else {}),
             }
         )
         if fail_after_chunk is not None and i >= fail_after_chunk:

@@ -119,6 +119,24 @@ class MultiSinkWriter:
         count over the chunk tag)."""
         return chunk_counts_from_footers(self.root, chunk_id)
 
+    def partition_metrics(self, chunk_id: str) -> dict[str, dict[str, int]]:
+        """Per-partition-directory (rows, bytes, files) for one chunk —
+        footer/stat metadata only, no data pages read. Recorded into the
+        chunk's manifest entry as the per-partition lineage the north
+        star asks for (and the input to skew diagnostics: a partition
+        dir with 100x the rows of its siblings is a routing hot key)."""
+        out: dict[str, dict[str, int]] = {}
+        for f in glob.glob(
+            os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"),
+            recursive=True,
+        ):
+            part = os.path.dirname(os.path.relpath(f, self.data_dir))
+            rec = out.setdefault(part, {"rows": 0, "bytes": 0, "files": 0})
+            rec["rows"] += footer_row_count([f])
+            rec["bytes"] += os.path.getsize(f)
+            rec["files"] += 1
+        return out
+
     def remove_chunk(self, chunk_id: str) -> None:
         """Idempotent undo (re-run of a chunk that crashed mid-promote)."""
         for f in glob.glob(

@@ -190,6 +190,25 @@ def test_footer_counts_agree_with_observation_counts(spark, tiny_input, tmp_path
         assert per_cat == rec["rows_per_category"]
 
 
+def test_manifest_partition_metrics(spark, tiny_input, tmp_path_factory):
+    """Each chunk record carries per-partition-dir lineage (rows, bytes,
+    files) whose totals reconcile with the chunk counts."""
+    from logparser_spark.plans.checkpoint import Manifest
+
+    out = str(tmp_path_factory.mktemp("partmetrics"))
+    run_pipeline(spark, tiny_input, out, n_chunks=1)
+    for rec in Manifest(out).completed_chunks().values():
+        parts = rec["partitions"]
+        assert parts and all(p.startswith("category=") for p in parts)
+        assert sum(p["rows"] for p in parts.values()) == rec["rows"]
+        assert all(p["bytes"] > 0 and p["files"] >= 1 for p in parts.values())
+        per_cat = {}
+        for name, p in parts.items():
+            cat = name.split("/")[0].split("=", 1)[1]
+            per_cat[cat] = per_cat.get(cat, 0) + p["rows"]
+        assert per_cat == rec["rows_per_category"]
+
+
 def test_summary_tables_written(spark, pipeline_out):
     import os
 
