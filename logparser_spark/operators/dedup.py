@@ -347,7 +347,21 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str, tie_col: str) -> DataFrame:
     """O7 analog: DISTINCT ON (keys) ORDER BY order_col DESC — the
-    reference's keep-latest dedup (PrecalculatedTopService.java:256-271),
-    as a window row_number."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc(tie_col))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    reference's keep-latest dedup (PrecalculatedTopService.java:256-271).
+
+    Implemented as max_by over a (order, tie) struct rather than a
+    window row_number: an aggregate gets map-side partial aggregation,
+    so a hot key reduces to one row per task BEFORE the shuffle — a
+    window would funnel every row of the hot key through one partition
+    (the skew failure mode at 10^12 rows)."""
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(order_col), F.col(tie_col)),
+        ).alias("_top")
+    )
+    out = agg.select(
+        *keys, *[F.col(f"_top.{c}").alias(c) for c in payload]
+    )
+    return out.select(*df.columns)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def upsert_ignore(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -32,15 +31,19 @@ def upsert_ignore(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataF
     """
     non_key = [c for c in new.columns if c not in keys]
     if non_key:
-        w = Window.partitionBy(*keys).orderBy(*non_key)
-        new_dedup = (
-            new.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        # min over the non-key struct == "first by column order", as an
+        # AGGREGATE: map-side partial aggregation collapses a hot key
+        # per task before the shuffle, where a window row_number would
+        # funnel the whole key through one partition.
+        dedup = new.groupBy(*keys).agg(
+            F.min(F.struct(*[F.col(c) for c in non_key])).alias("_m")
         )
+        new_dedup = dedup.select(
+            *keys, *[F.col(f"_m.{c}").alias(c) for c in non_key]
+        ).select(*new.columns)
     else:
-        # pure-key table (a legitimate DO NOTHING shape): an empty
-        # orderBy would throw; identical rows need no tie-break.
+        # pure-key table (a legitimate DO NOTHING shape): identical
+        # rows need no tie-break.
         new_dedup = new.dropDuplicates(keys)
     fresh = new_dedup.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
     return existing.unionByName(fresh)
@@ -54,9 +57,15 @@ def upsert_replace(
     tagged_old = existing.withColumn("_src", F.lit(0))
     tagged_new = new.withColumn("_src", F.lit(1))
     allrows = tagged_old.unionByName(tagged_new)
-    w = Window.partitionBy(*keys).orderBy(F.desc(version_col), F.desc("_src"))
-    return (
-        allrows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+    payload = [c for c in existing.columns if c not in keys]
+    # keep-latest as max_by aggregate, not a window: partial aggregation
+    # makes hot keys skew-safe (see keep_latest)
+    agg = allrows.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(version_col), F.col("_src")),
+        ).alias("_top")
     )
+    return agg.select(
+        *keys, *[F.col(f"_top.{c}").alias(c) for c in payload]
+    ).select(*existing.columns)

@@ -28,6 +28,12 @@ bounds file size. At 100 TB the avoided shuffle is the single biggest
 cost in the job; this measured ~25% faster at 8 cores and ~60% faster
 at 32 (the shuffle serializes on exchange I/O).
 
+Measured and REJECTED: packing ``tokens`` as a binary blob before the
+write (12.4s of a 20.2s chunk write is the list<int32> column) — the
+blob compresses worse than the dictionary-encoded int32 leaf (635 MB vs
+493 MB: codepoints dict-encode to ~1 byte/elem) and the repack costs a
+full-payload Python round-trip. The list<int32> layout stays.
+
 ``pre_shuffle=True`` restores the clustered layout — rows shuffled by
 (category, day, salt), salt = pmod(xxhash64(doc_id), S), giving
 minimal files per directory with hot categories spread over S tasks —
