@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from logparser_spark.functions.classify import category_expr
 from logparser_spark.functions.parse import with_parsed
