@@ -167,10 +167,16 @@ class LogPipelineAPI:
         }
 
     # -- GET /api/statuses / /api/actions ----------------------------
+    # precomputed at load time (reference populates dim tables on load);
+    # live distinct only when the summary is absent
     def get_statuses(self) -> DataFrame:
+        if (s := self._summary("dim_statuses")) is not None:
+            return s.orderBy("status_code")
         s, _ = agg.distinct_dims(read_sink(self.spark, self.root))
         return s
 
     def get_actions(self) -> DataFrame:
+        if (a := self._summary("dim_actions")) is not None:
+            return a.orderBy("action")
         _, a = agg.distinct_dims(read_sink(self.spark, self.root))
         return a

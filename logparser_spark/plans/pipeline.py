@@ -196,6 +196,7 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
     from concurrent.futures import ThreadPoolExecutor
 
     df = read_sink(spark, out_root)
+    dim_statuses, dim_actions = agg.distinct_dims(df)
     results = {
         "agg_sink_totals": agg.sink_totals(df),
         "agg_status_hist": agg.status_hist(df),
@@ -203,6 +204,10 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
         "agg_daily_rollup": agg.daily_rollup(df),
         "top_urls": agg.top_urls(df),
         "top_users": agg.top_users(df),
+        # dim vocabularies, populated at load time like the reference's
+        # dim tables (DatabaseManager.java:460-492)
+        "dim_statuses": dim_statuses,
+        "dim_actions": dim_actions,
     }
 
     def write(item):
