@@ -209,22 +209,20 @@ def lines_to_sequences(pdf: pd.DataFrame) -> pa.Table:
     )
 
 
-def generate_partitioned_lines(
-    n: int, files: int, seed: int = SEED
-) -> list[pd.DataFrame]:
+def generate_partitioned_lines(n: int, files: int, seed: int = SEED):
     """The per-file (derived seed, row count, doc_id) contract behind
-    ``write_raw_sequences`` — one frame per output file. Shared with
+    ``write_raw_sequences`` — one frame per output file, yielded lazily
+    so fixture size is bounded by ONE file's frame, not the whole
+    dataset (a 100M-row fixture would not fit as a list). Shared with
     test oracles so ground truth regenerates identical content without
     duplicating the seeding rules (tests still bypass the parquet
     encode path, which is the independence that matters)."""
-    parts = []
     per = n // files
     for f in range(files):
         cnt = per if f < files - 1 else n - per * (files - 1)
         pdf = generate_lines(cnt, seed=seed + f * 1000)
         pdf["doc_id"] = [f"doc-{f:03d}-{i:09d}" for i in range(cnt)]
-        parts.append(pdf)
-    return parts
+        yield pdf
 
 
 def write_raw_sequences(
@@ -283,11 +281,11 @@ def dim_tables() -> dict[str, pd.DataFrame]:
 
 def ensure_fixture(scale: str, base_dir: str = "/root/repo/fixtures_cache") -> str:
     """Idempotently materialize a named scale; returns raw_sequences path."""
-    rows = {"tiny": 10_000, "small": 1_000_000, "bench": 10_000_000}[scale]
+    rows = {"tiny": 10_000, "small": 1_000_000, "bench": 10_000_000, "huge": 100_000_000}[scale]
     out = os.path.join(base_dir, f"sf-{scale}")
     marker = os.path.join(out, "raw_sequences", "_SUCCESS")
     if not os.path.exists(marker):
-        p = write_raw_sequences(out, rows, files=8 if scale == "tiny" else 32)
+        p = write_raw_sequences(out, rows, files=8 if scale == "tiny" else (256 if scale == "huge" else 32))
         open(marker, "w").write("ok")
         return p
     return os.path.join(out, "raw_sequences")
