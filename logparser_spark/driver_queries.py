@@ -276,14 +276,11 @@ def q_json_roundtrip(spark, sf_dir):
     """P14: JSON encode/decode at the edge (to_json(struct) ->
     from_json), value-checked by recovering the original columns — the
     serialization itself is engine-specific, the round-trip is not."""
-    from pyspark.sql.types import StructType
-
     df = routed_events(spark, sf_dir).filter(F.col("valid") == 1).select(
         "event_id", "ip", "username", "url", "status_code", "response_size_bytes"
     )
-    schema = StructType(df.schema.fields)
     j = df.select(F.to_json(F.struct(*df.columns)).alias("json"))
-    back = j.select(F.from_json("json", schema).alias("r")).select("r.*")
+    back = j.select(F.from_json("json", df.schema).alias("r")).select("r.*")
     return back.orderBy("event_id")
 
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+SNAPSHOT_CHUNK_PROP = "pipeline.chunk-id"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -131,11 +132,22 @@ class IcebergMultiSinkWriter:
         """
         out = df.withColumn("_chunk_id", F.lit(chunk_id))
         self._ensure_table(out)
-        out.writeTo(self.table).option("fanout-enabled", "true").append()
+        # Tag the commit itself with the chunk id (snapshot property):
+        # the id is then recovered by matching the tag, NOT by a
+        # latest-snapshot probe that reads the wrong commit whenever a
+        # concurrent writer lands between append() and the query (or two
+        # commits share a committed_at millisecond).
+        (
+            out.writeTo(self.table)
+            .option("fanout-enabled", "true")
+            .option(f"snapshot-property.{SNAPSHOT_CHUNK_PROP}", chunk_id)
+            .append()
+        )
         snap = (
             self.spark.sql(
                 f"SELECT snapshot_id FROM {self.table}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                f"WHERE summary['{SNAPSHOT_CHUNK_PROP}'] = '{chunk_id}' "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).first()[0]
         )
         self._snapshots[chunk_id] = snap
@@ -144,7 +156,13 @@ class IcebergMultiSinkWriter:
     def remove_chunk(self, chunk_id: str) -> None:
         """Undo a crashed chunk: a single transactional DELETE (Iceberg
         rewrites only affected files; with a recorded snapshot id,
-        rollback_to_snapshot is the pure-metadata alternative)."""
+        rollback_to_snapshot is the pure-metadata alternative).
+
+        Idempotent like the parquet writer's remove_chunk — including on
+        a fresh run where the table doesn't exist yet (run_pipeline
+        calls this BEFORE the first write of every new chunk)."""
+        if not self.spark.catalog.tableExists(self.table):
+            return
         self.spark.sql(
             f"DELETE FROM {self.table} WHERE _chunk_id = '{chunk_id}'"
         )

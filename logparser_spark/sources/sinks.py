@@ -122,8 +122,21 @@ class MultiSinkWriter:
         chunk — the count source of record when Observation accumulators
         can overcount (speculation / stage reattempts). Each sink format
         implements its own (parquet: footers; Iceberg: a metadata-pruned
-        count over the chunk tag)."""
-        return chunk_counts_from_footers(self.root, chunk_id)
+        count over the chunk tag). Derived from partition_metrics so the
+        footer walk happens once."""
+        parts = self.partition_metrics(chunk_id)
+        per_cat: dict[str, int] = {}
+        for name, rec in parts.items():
+            cat = next(
+                (
+                    p.split("=", 1)[1]
+                    for p in name.split(os.sep)
+                    if p.startswith("category=")
+                ),
+                "unknown",
+            )
+            per_cat[cat] = per_cat.get(cat, 0) + rec["rows"]
+        return sum(per_cat.values()), per_cat
 
     def partition_metrics(self, chunk_id: str) -> dict[str, dict[str, int]]:
         """Per-partition-directory (rows, bytes, files) for one chunk —
@@ -167,27 +180,10 @@ def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, 
     This is the count source of record when speculative execution or
     stage reattempts could make Observation accumulators overcount
     (duplicate successful task attempts each add their metrics); footer
-    counts reflect only the files actually promoted.
+    counts reflect only the files actually promoted. Thin wrapper over
+    the writer method so the glob/parse logic lives once.
     """
-    total = 0
-    per_cat: dict[str, int] = {}
-    data_dir = os.path.join(root, "data")
-    for f in glob.glob(
-        os.path.join(data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
-    ):
-        n = footer_row_count([f])
-        rel = os.path.relpath(f, data_dir)
-        cat = next(
-            (
-                p.split("=", 1)[1]
-                for p in rel.split(os.sep)
-                if p.startswith("category=")
-            ),
-            "unknown",
-        )
-        total += n
-        per_cat[cat] = per_cat.get(cat, 0) + n
-    return total, per_cat
+    return MultiSinkWriter(root).exact_chunk_counts(chunk_id)
 
 
 def read_sink(
