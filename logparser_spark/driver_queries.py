@@ -20,6 +20,7 @@ from logparser_spark.functions.classify import category_expr
 from logparser_spark.functions.parse import with_parsed
 from logparser_spark.linegen import duckdb_parsed_cte, line_expr_spark
 from logparser_spark.operators import aggregates as agg
+from logparser_spark.operators.sessionize import sessionize_oracle_sql
 
 # ---------------------------------------------------------------------
 # shared builders
@@ -303,6 +304,17 @@ def q_upsert_replace(spark, sf_dir):
     return merged.orderBy("username")
 
 
+def q_sessions(spark, sf_dir):
+    """Sessionization via native session_window (gap = 30 min), checked
+    against the gaps-and-islands SQL formulation."""
+    from logparser_spark.operators.sessionize import sessionize
+
+    df = routed_events(spark, sf_dir).filter(F.col("valid") == 1)
+    return sessionize(df, key="username", time_col="time", gap="30 minutes").orderBy(
+        "username", "session_start_us"
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming under the driver contract: the identical
     parse->route lineage over ``readStream`` (availableNow), windowed
@@ -451,6 +463,7 @@ SELECT username, request_count, version FROM (
   SELECT *, row_number() OVER (PARTITION BY username ORDER BY version DESC, _src DESC) AS rn
   FROM u
 ) WHERE rn = 1 ORDER BY username""",
+    "sessions": _cte() + sessionize_oracle_sql(30 * 60 * 1_000_000),
     "stream_hourly": _cte()
     + """
 SELECT CAST(epoch(date_trunc('hour', "time")) AS BIGINT) * 1000000 AS window_start_us,
@@ -484,6 +497,7 @@ PIPELINE_QUERIES = {
     "enriched_rows": q_enriched_rows,
     "json_roundtrip": q_json_roundtrip,
     "upsert_replace": q_upsert_replace,
+    "sessions": q_sessions,
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
 }

@@ -121,3 +121,30 @@ def test_ivf_exact_when_probing_all_lists(spark, emb):
         emb, query_ids=[0, 1, 2], k=5, n_lists=8, n_probe=8
     ).collect()
     assert [tuple(r) for r in brute] == [tuple(r) for r in ivf]
+
+
+def test_sessionize_gap_boundary(spark):
+    """An event exactly at last + gap starts a NEW session; strictly
+    inside the gap extends. Pins the semantics the SQL oracle mirrors
+    (diff >= gap, not >)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        ("u1", base),
+        ("u1", base + gap - dt.timedelta(microseconds=1)),  # same session
+        ("u1", base + 2 * gap - dt.timedelta(microseconds=1)),  # still chained
+        ("u1", base + 3 * gap),  # exactly gap after last -> NEW session
+        ("u2", base),
+    ]
+    df = spark.createDataFrame(rows, "username string, time timestamp")
+    got = sorted(
+        (r.username, r.n_events)
+        for r in sessionize(df, gap="30 minutes").collect()
+    )
+    assert got == [("u1", 1), ("u1", 3), ("u2", 1)]
