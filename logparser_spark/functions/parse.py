@@ -300,12 +300,37 @@ def _parsed_arrow_to_pandas(cols: dict) -> pd.DataFrame:
     )
 
 
+# Input contract at the text boundary: lines must be UTF-8
+# representable. Lone surrogates (impossible to encode, so they can
+# never arrive FROM Spark, but direct pandas callers / fuzzed input can
+# carry them) are normalized to U+FFFD — the same permissiveness the
+# codec applies to corrupt tokens (codec.decode_tokens) — so one
+# malformed string quarantines its row instead of crashing the stage.
+_SURROGATE_RX = re.compile("[\ud800-\udfff]")
+
+
+def sanitize_lines(lines: pd.Series) -> pd.Series:
+    """Replace non-UTF-8-encodable code points with U+FFFD (cheap scan
+    first; the common all-clean batch pays one vectorized contains)."""
+    mask = lines.str.contains(_SURROGATE_RX, na=False)
+    if mask.any():
+        lines = lines.copy()
+        lines[mask] = lines[mask].map(lambda s: _SURROGATE_RX.sub("�", s))
+    return lines
+
+
 def parse_lines(lines: pd.Series) -> pd.DataFrame:
     """Batch-parse decoded log lines into the PARSED_SCHEMA columns
     (Arrow engine; see parse_lines_pandas for the reference twin)."""
     import pyarrow as pa
 
-    arr = pa.Array.from_pandas(lines.astype(object).where(lines.notna(), ""))
+    filled = lines.astype(object).where(lines.notna(), "")
+    try:
+        # explicit string type: an empty/all-null batch must not infer
+        # a null-typed array (extract_regex has no null kernel)
+        arr = pa.array(filled, type=pa.string())
+    except UnicodeEncodeError:
+        arr = pa.array(sanitize_lines(filled), type=pa.string())
     return _parsed_arrow_to_pandas(parse_lines_arrow(arr))
 
 
@@ -314,6 +339,7 @@ def parse_lines_pandas(lines: pd.Series) -> pd.DataFrame:
     ``parse_lines_arrow``, kept as a test oracle (and the only engine
     difference is Python re's Unicode \\d/\\s vs RE2/Java's ASCII —
     outside the printable-ASCII codec contract)."""
+    lines = sanitize_lines(lines)
     ext = lines.str.extract(LOG_PATTERN)
     matched = ext[0].notna()
 

@@ -68,7 +68,15 @@ BYTES_MAX = 2**63 - 1  # Long.parseLong overflow -> reject (java:1059)
 SECS_MAX = 9223372036853  # epoch_us must fit int64 (documented deviation)
 
 
+# Input contract (shared with the vectorized engines): lone surrogates
+# are not UTF-8-representable and normalize to U+FFFD at the boundary —
+# the same permissiveness codec.decode_tokens applies to corrupt tokens.
+SURROGATE_RX = re.compile("[\ud800-\udfff]")
+
+
 def parse_line(line: str) -> ParsedRow:
+    if line and SURROGATE_RX.search(line):
+        line = SURROGATE_RX.sub("�", line)
     m = LOG_RX.match(line or "")
     if not m:
         return ParsedRow(False, "regex_mismatch")

@@ -48,6 +48,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # A dying Python worker must surface its traceback, not an
+        # opaque JVM-side Arrow connection reset (the r2 driver-bench
+        # kill produced exactly that unreadable failure mode).
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         # Parse UDF output includes the passthrough tokens array; keep
         # broadcast threshold generous for the small dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
