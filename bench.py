@@ -3,9 +3,17 @@
 
 Default (driver) mode: time the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and print the artifact JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Survivability contract (the round-2 artifact was zeroed by a timeout
+kill mid-pipeline-block): the headline line is printed and FLUSHED as
+soon as the headline queries finish; if the end-to-end pipeline block
+completes within the time budget (``$SPARK_GRAFT_BENCH_BUDGET_SEC``,
+default 2400 s from process start), a superset line with the
+``pipeline_*`` throughput fields follows. Take the LAST JSON line on
+stdout; any line is a complete artifact.
 
 ``--scaling`` mode (north-rule evidence): run the identical end-to-end
 parse->enrich->route->write->aggregate job over a deterministic 10M-row
@@ -71,6 +79,30 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_T0 = time.monotonic()  # process start — the budget clock
+
+# Worst-case time the driver gives this process. The round-2 artifact
+# was zeroed by a timeout kill (rc 124 ~53 min in): the harness runs
+# under heavy host contention, so local timing estimates do not
+# transfer. Conservative default; the driver can override via env.
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
+
+# Local steady-state cost of the headline block at local[32]/sf0.1
+# (measured ~85 s). elapsed/expected = the harness contention factor
+# used to scale the pipeline-block estimate.
+_HEADLINE_EXPECTED_SEC = 90.0
+# Local costs of the pipeline block pieces (measured): 10M-row fixture
+# generation ~110 s (fixtures_cache/ is gitignored, so the driver
+# always regenerates), warmup pass ~35 s, timed trial ~30 s.
+_PIPELINE_EST_SEC = {"fixture": 110.0, "warmup": 35.0, "trial": 30.0}
+
+
+def _emit(out: dict) -> None:
+    """Print the artifact line NOW and flush — a later timeout kill can
+    no longer zero the whole artifact."""
+    print(json.dumps(out), flush=True)
+
+
 def run_driver_bench(sf_dir: str) -> dict:
     from logparser_spark.session import build_session
 
@@ -120,38 +152,66 @@ def run_driver_bench(sf_dir: str) -> dict:
         "events_rows": n_events,
         "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
     }
+    # Emit the headline artifact line IMMEDIATELY (flushed): if the
+    # pipeline block below is timeout-killed, this line survives as a
+    # complete, parseable artifact (the r2 artifact was zeroed exactly
+    # this way). On success a second, superset line follows — consumers
+    # taking either the first or the last JSON line get valid numbers.
+    _emit(out)
     if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE") != "1":
-        out.update(_pipeline_throughput_block())
+        out.update(_pipeline_block_guarded())
+        _emit(out)
     return out
 
 
 BASELINE_LINES_PER_SEC = 155_000  # BASELINE.md: 60M lines / 386.5 s, parse-only
 
 
-def _pipeline_throughput_block() -> dict:
+def _pipeline_block_guarded() -> dict:
     """End-to-end parse->enrich->route->write->aggregate throughput on
     the deterministic 10M-row tokenized-sequence fixture — the number
     comparable to the reference's single-node 155k lines/s (which does
     strictly less work per row: no enrichment, no routing, no
-    aggregate stage). Warmup pass + best of 3 timed trials (this VM's
-    available CPU drifts with host contention)."""
-    from logparser_spark.fixtures import ensure_fixture
+    aggregate stage). Warmup pass + ONE timed trial under driver mode
+    (best-of-N lives in --scaling); the whole block is budget-gated and
+    exception-guarded so it can only ever ADD fields to an
+    already-emitted headline artifact."""
+    elapsed = time.monotonic() - _T0
+    # Observed harness slowdown vs local steady state, from the block
+    # we just timed. Scale the pipeline-block estimate by it.
+    contention = max(1.0, elapsed / _HEADLINE_EXPECTED_SEC)
+    est = _PIPELINE_EST_SEC["warmup"] + _PIPELINE_EST_SEC["trial"]
+    marker = "/root/repo/fixtures_cache/sf-bench/raw_sequences/_SUCCESS"
+    if not os.path.exists(marker):
+        est += _PIPELINE_EST_SEC["fixture"]
+    est *= contention
+    if elapsed + est > BENCH_BUDGET_SEC:
+        return {
+            "pipeline_skipped": "budget",
+            "pipeline_budget_sec": BENCH_BUDGET_SEC,
+            "pipeline_elapsed_sec": round(elapsed, 1),
+            "pipeline_estimated_sec": round(est, 1),
+        }
+    try:
+        from logparser_spark.fixtures import ensure_fixture
 
-    input_path = ensure_fixture("bench")
-    rec = pipeline_run(
-        f"local[{CPUS}]", input_path, "/tmp/bench_driver_pipeline", repeats=3
-    )
-    shutil.rmtree("/tmp/bench_driver_pipeline", ignore_errors=True)
-    return {
-        "pipeline_rows": rec["rows"],
-        "pipeline_load_sec": rec["load_sec"],
-        "pipeline_agg_sec": rec["agg_sec"],
-        "pipeline_wall_sec": rec["wall_sec"],
-        "pipeline_seq_per_sec": rec["seq_per_sec"],
-        "pipeline_trials_wall_sec": rec["trials_wall_sec"],
-        "baseline_lines_per_sec": BASELINE_LINES_PER_SEC,
-        "pipeline_vs_baseline": round(rec["seq_per_sec"] / BASELINE_LINES_PER_SEC, 2),
-    }
+        input_path = ensure_fixture("bench")
+        rec = pipeline_run(
+            f"local[{CPUS}]", input_path, "/tmp/bench_driver_pipeline", repeats=1
+        )
+        shutil.rmtree("/tmp/bench_driver_pipeline", ignore_errors=True)
+        return {
+            "pipeline_rows": rec["rows"],
+            "pipeline_load_sec": rec["load_sec"],
+            "pipeline_agg_sec": rec["agg_sec"],
+            "pipeline_wall_sec": rec["wall_sec"],
+            "pipeline_seq_per_sec": rec["seq_per_sec"],
+            "pipeline_trials_wall_sec": rec["trials_wall_sec"],
+            "baseline_lines_per_sec": BASELINE_LINES_PER_SEC,
+            "pipeline_vs_baseline": round(rec["seq_per_sec"] / BASELINE_LINES_PER_SEC, 2),
+        }
+    except Exception as exc:  # noqa: BLE001 — artifact must survive
+        return {"pipeline_error": f"{type(exc).__name__}: {exc}"[:500]}
 
 
 # ---------------------------------------------------------------------
@@ -432,7 +492,9 @@ def main() -> None:
     elif args.scaling:
         print(json.dumps(run_scaling(args.n, args.fixture, args.rounds)))
     else:
-        print(json.dumps(run_driver_bench(args.sf_dir)))
+        # run_driver_bench emits its own artifact lines (headline first,
+        # superset after the pipeline block) — nothing to print here.
+        run_driver_bench(args.sf_dir)
 
 
 if __name__ == "__main__":

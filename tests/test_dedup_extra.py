@@ -37,6 +37,15 @@ def test_simhash_banding_equals_bruteforce(spark, docs):
     assert got == want
 
 
+def test_ngram_jaccard_guard_refuses_large_input(spark, docs):
+    """The O(n²) all-pairs baseline must refuse data-scale inputs and
+    point at the LSH scale path; guard off/raised -> runs normally."""
+    with pytest.raises(dedup.QuadraticPlanRefused, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(docs, guard_rows=10)
+    n = dedup.ngram_jaccard_pairs(docs, guard_rows=None).count()
+    assert n == dedup.ngram_jaccard_pairs(docs).count()  # default guard passes here
+
+
 def test_ivf_topk_recall_vs_brute(spark, emb):
     brute = sim_rows = similarity.brute_topk(emb, query_ids=list(range(10)), k=5).collect()
     ivf = similarity.ivf_topk(emb, query_ids=list(range(10)), k=5).collect()
