@@ -115,16 +115,14 @@ def run_pipeline(
 
         from logparser_spark.functions.classify import CATEGORIES
 
-        # Caveat: Observation accumulators can OVERCOUNT under
-        # speculative execution or stage reattempts (each successful
-        # duplicate attempt adds its metrics). When speculation is on,
-        # the manifest record comes from the WRITER's exact count source
-        # (parquet footers / Iceberg chunk-tag count) — each sink format
-        # owns its own, so the pluggable-writer seam stays format-agnostic.
-        speculative = (
-            spark.conf.get("spark.speculation", "false").lower() == "true"
-            and hasattr(writer, "exact_chunk_counts")
-        )
+        # Counts: the WRITER's exact source (parquet footers / Iceberg
+        # chunk-tag metadata — no data pages read) is the source of
+        # record whenever the writer provides one. Observation
+        # accumulators ride the write job for free but OVERCOUNT under
+        # speculative execution AND ordinary stage reattempts (e.g.
+        # fetch-failure retries — which happen on real clusters without
+        # speculation), so they are only the cross-check: a disagreement
+        # is recorded in the manifest as reattempt-inflation lineage.
         obs = Observation(chunk_id)
         routed = routed.observe(
             obs,
@@ -136,12 +134,13 @@ def run_pipeline(
         )
         writer.write_chunk(routed, chunk_id)
 
-        if speculative:
+        vals = obs.get
+        observed_rows = vals["_rows"]
+        if hasattr(writer, "exact_chunk_counts"):
             rows, cat_counts = writer.exact_chunk_counts(chunk_id)
         else:
-            vals = obs.get
             cat_counts = {c: vals[c] for c in CATEGORIES if vals[c]}
-            rows = vals["_rows"]
+            rows = observed_rows
         total_rows += rows
         dt = _time.monotonic() - t0
         # lineage: Iceberg-backed writers expose the committed snapshot
@@ -162,6 +161,13 @@ def run_pipeline(
                 **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
                 "rows": rows,
                 "rows_per_category": cat_counts,
+                # cross-check trail: observed != exact means duplicate
+                # successful task attempts inflated the accumulators
+                **(
+                    {"observed_rows": observed_rows}
+                    if observed_rows != rows
+                    else {}
+                ),
                 "wall_sec": round(dt, 3),
                 "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
                 # per-partition lineage + throughput: rows/bytes/files per

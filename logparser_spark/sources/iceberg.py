@@ -45,6 +45,23 @@ from pyspark.sql import functions as F
 ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
 SNAPSHOT_CHUNK_PROP = "pipeline.chunk-id"
 
+# Identifiers interpolated into SQL strings are validated, not escaped:
+# chunk ids are machine-generated (chunk-00042) and table names are
+# catalog.namespace.table paths — anything outside this alphabet is a
+# bug or an injection attempt, and failing loudly beats quoting.
+import re as _re
+
+_SAFE_ID_RX = _re.compile(r"^[A-Za-z0-9_\-.]+$")
+
+
+def _check_sql_identifier(value: str, what: str) -> str:
+    if not _SAFE_ID_RX.match(value or ""):
+        raise ValueError(
+            f"{what} {value!r} contains characters outside [A-Za-z0-9_-.] "
+            "and cannot be safely interpolated into SQL"
+        )
+    return value
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg Spark runtime is on the JVM classpath."""
@@ -107,6 +124,7 @@ class IcebergMultiSinkWriter:
     """
 
     def __init__(self, spark: SparkSession, table: str):
+        _check_sql_identifier(table, "table")
         if not iceberg_available(spark):
             raise NotImplementedError(
                 "Iceberg runtime not on the classpath — add "
@@ -130,6 +148,7 @@ class IcebergMultiSinkWriter:
         Rows tagged with the chunk id support exact remove_chunk via a
         metadata-only overwrite (and make per-chunk lineage queryable).
         """
+        _check_sql_identifier(chunk_id, "chunk_id")
         out = df.withColumn("_chunk_id", F.lit(chunk_id))
         self._ensure_table(out)
         # Tag the commit itself with the chunk id (snapshot property):
@@ -161,6 +180,7 @@ class IcebergMultiSinkWriter:
         Idempotent like the parquet writer's remove_chunk — including on
         a fresh run where the table doesn't exist yet (run_pipeline
         calls this BEFORE the first write of every new chunk)."""
+        _check_sql_identifier(chunk_id, "chunk_id")
         if not self.spark.catalog.tableExists(self.table):
             return
         self.spark.sql(
@@ -171,6 +191,7 @@ class IcebergMultiSinkWriter:
         """Exact counts for one chunk from the table itself (the chunk
         tag prunes to the chunk's files; Iceberg answers COUNT from
         manifests where possible)."""
+        _check_sql_identifier(chunk_id, "chunk_id")
         rows = self.spark.sql(
             f"SELECT category, COUNT(*) AS n FROM {self.table} "
             f"WHERE _chunk_id = '{chunk_id}' GROUP BY category"
@@ -191,12 +212,20 @@ def merge_upsert(
 ) -> None:
     """Run the MERGE INTO form of upsert_ignore/upsert_replace against a
     real Iceberg table (single atomic commit, no read-modify-write)."""
+    _check_sql_identifier(target_table, "target_table")
     if not iceberg_available(spark):
         raise NotImplementedError(
             "MERGE INTO needs the Iceberg runtime; use operators.upsert."
             "upsert_ignore/upsert_replace (anti-join/window equivalents)"
         )
-    view = "_merge_src"
+    # unique per-call view: two concurrent merges in one SparkSession
+    # must not clobber each other's source view
+    import uuid
+
+    view = f"_merge_src_{uuid.uuid4().hex}"
     new.createOrReplaceTempView(view)
-    non_key = [c for c in new.columns if c not in keys]
-    spark.sql(merge_into_sql(target_table, view, keys, non_key, mode=mode))
+    try:
+        non_key = [c for c in new.columns if c not in keys]
+        spark.sql(merge_into_sql(target_table, view, keys, non_key, mode=mode))
+    finally:
+        spark.catalog.dropTempView(view)

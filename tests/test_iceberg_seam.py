@@ -74,3 +74,132 @@ def test_run_pipeline_accepts_custom_writer(spark, tiny_input, tmp_path_factory)
     recs = Manifest(out).completed_chunks()
     assert len(recs) == 2 and w.chunks == sorted(recs)
     assert [recs[c]["snapshot_id"] for c in sorted(recs)] == [1000, 1001]
+
+
+# ---------------------------------------------------------------------
+# Commit-protocol pins via a recording catalog stand-in: no Iceberg jar
+# exists in this sandbox, so the full write_chunk/remove_chunk/merge
+# statement sequence is regression-locked here instead of against a
+# live catalog (reference analog: the staging+rename atomic publish,
+# DatabaseManager.java:255-332).
+# ---------------------------------------------------------------------
+
+
+class _Recorder:
+    """DataFrameWriterV2 stand-in recording option()/append() calls."""
+
+    def __init__(self, log, table):
+        self.log = log
+        self.table = table
+        self.opts = {}
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def append(self):
+        self.log.append(("append", self.table, dict(self.opts)))
+
+
+class _ProxySpark:
+    """Records every SQL statement; delegates temp-view catalog calls."""
+
+    def __init__(self, real):
+        self._real = real
+        self.sql_log = []
+        self.table_exists = True
+
+    def sql(self, q):
+        self.sql_log.append(q)
+
+        class R:
+            def first(_self):
+                return [4242]
+
+            def collect(_self):
+                return []
+
+        return R()
+
+    @property
+    def catalog(self):
+        proxy = self
+
+        class C:
+            def tableExists(_self, t):
+                return proxy.table_exists
+
+            def dropTempView(_self, v):
+                return proxy._real.catalog.dropTempView(v)
+
+        return C()
+
+
+@pytest.fixture()
+def proxy(spark, monkeypatch):
+    monkeypatch.setattr(ice, "iceberg_available", lambda s: True)
+    return _ProxySpark(spark)
+
+
+def test_write_chunk_protocol_pinned(spark, proxy, monkeypatch):
+    """One chunk == exactly: CREATE IF NOT EXISTS -> tagged append in a
+    single snapshot -> snapshot-id recovery by tag (never a
+    latest-snapshot probe)."""
+    writes = []
+    w = ice.IcebergMultiSinkWriter(proxy, "lake.db.routed")
+    df = spark.createDataFrame([("d1", "success")], "doc_id string, category string")
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # writeTo, so patching the abstract base is a no-op)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda df, t: _Recorder(writes, t), raising=True
+    )
+    snap = w.write_chunk(df, "chunk-00007")
+
+    assert snap == 4242 and w.last_snapshot_id("chunk-00007") == 4242
+    create, select = proxy.sql_log
+    assert create.startswith("CREATE TABLE IF NOT EXISTS lake.db.routed (")
+    assert "PARTITIONED BY (category, days(time))" in create
+    assert "_chunk_id string" in create  # tag column rides the schema
+    assert [t for t, *_ in writes] == ["append"]
+    _, table, opts = writes[0]
+    assert table == "lake.db.routed"
+    assert opts == {
+        "fanout-enabled": "true",
+        f"snapshot-property.{ice.SNAPSHOT_CHUNK_PROP}": "chunk-00007",
+    }
+    assert (
+        f"WHERE summary['{ice.SNAPSHOT_CHUNK_PROP}'] = 'chunk-00007'" in select
+    )
+
+
+def test_remove_chunk_protocol_pinned(proxy):
+    w = ice.IcebergMultiSinkWriter(proxy, "lake.db.routed")
+    w.remove_chunk("chunk-00003")
+    assert proxy.sql_log == [
+        "DELETE FROM lake.db.routed WHERE _chunk_id = 'chunk-00003'"
+    ]
+    # fresh run, table absent: remove must be a silent no-op
+    proxy.sql_log.clear()
+    proxy.table_exists = False
+    w.remove_chunk("chunk-00003")
+    assert proxy.sql_log == []
+
+
+def test_merge_upsert_unique_view_and_cleanup(spark, proxy):
+    """Concurrent merges must not clobber each other's source view:
+    per-call unique view name, dropped afterwards even on success."""
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    ice.merge_upsert(proxy, "lake.db.dim", df, ["k"], mode="replace")
+    ice.merge_upsert(proxy, "lake.db.dim", df, ["k"], mode="replace")
+    merges = [q for q in proxy.sql_log if q.startswith("MERGE INTO")]
+    views = [q.split(" USING ")[1].split(" s ON ")[0] for q in merges]
+    assert len(set(views)) == 2  # unique per call
+    for v in views:
+        assert v.startswith("_merge_src_")
+        assert spark.catalog.tableExists(v) is False  # dropped
+
+
+def test_sql_identifier_guard():
+    with pytest.raises(ValueError, match="cannot be safely interpolated"):
+        ice._check_sql_identifier("chunk'; DROP TABLE x;--", "chunk_id")
+    assert ice._check_sql_identifier("chunk-00042", "chunk_id") == "chunk-00042"
