@@ -55,6 +55,8 @@ def run_pipeline(
     pre_shuffle: bool = False,
     fail_after_chunk: int | None = None,
     writer=None,
+    progress: bool = False,
+    job_group: str | None = None,
 ) -> dict:
     """Chunked, resumable parse→route load. Returns run metrics.
 
@@ -67,7 +69,41 @@ def run_pipeline(
     ``sources.iceberg.IcebergMultiSinkWriter`` for snapshot commits
     when the Iceberg runtime is on the classpath (the default parquet
     writer's rename-promote protocol is the sandbox stand-in).
+
+    ``progress=True`` samples live per-stage task progress into
+    ``<out_root>/progress.jsonl`` and runs every job under a job group
+    (``job_group`` or a name derived from ``out_root``) so the run can
+    be cancelled mid-flight with ``progress.cancel_job_group`` — the
+    reference's live-status + cancel surface (LogParsingService.java:
+    83-166,520-595).
     """
+    import glob as _glob
+    import os as _os
+
+    if progress:
+        from logparser_spark.plans.progress import ProgressReporter
+
+        with ProgressReporter(spark, out_root, job_group=job_group):
+            return _run_pipeline_inner(
+                spark, input_path, out_root, n_chunks, salt_buckets,
+                pre_shuffle, fail_after_chunk, writer,
+            )
+    return _run_pipeline_inner(
+        spark, input_path, out_root, n_chunks, salt_buckets,
+        pre_shuffle, fail_after_chunk, writer,
+    )
+
+
+def _run_pipeline_inner(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    n_chunks: int = 1,
+    salt_buckets: int = 8,
+    pre_shuffle: bool = False,
+    fail_after_chunk: int | None = None,
+    writer=None,
+) -> dict:
     import glob as _glob
     import os as _os
 
