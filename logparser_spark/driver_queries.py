@@ -20,6 +20,7 @@ from logparser_spark.functions.classify import category_expr
 from logparser_spark.functions.parse import with_parsed
 from logparser_spark.linegen import duckdb_parsed_cte, line_expr_spark
 from logparser_spark.operators import aggregates as agg
+from logparser_spark.operators.util import spread
 from logparser_spark.operators.sessionize import sessionize_oracle_sql
 
 # ---------------------------------------------------------------------
@@ -28,15 +29,19 @@ from logparser_spark.operators.sessionize import sessionize_oracle_sql
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # spread(): the sf* test tables are single small parquet files ->
+    # one scan partition, which would serialize the CPU-heavy parse
+    # head onto one core. At real scale inputs have thousands of
+    # splits and spread() is a no-op (see operators/util.py).
+    return spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
