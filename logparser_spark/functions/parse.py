@@ -562,14 +562,29 @@ def with_parsed(df, tokens_col: str = "tokens", from_text: str | None = None):
     The UDF returns epoch microseconds; the cast to timestamp happens
     JVM-side so Catalyst sees a native TimestampType column (prunable,
     comparable, pushdown-friendly).
+
+    The UDF is marked ``asNondeterministic()`` — not because the parse
+    is nondeterministic (it is pure), but to forbid Catalyst from
+    duplicating it: a downstream filter on a parsed column (valid,
+    status_code, ...) otherwise gets pushed below any exchange between
+    the scan and the filter, re-evaluating the WHOLE parse a second
+    time just to compute the predicate (measured: a min/max-over-parsed
+    query ran the Arrow parse twice, one copy on the pre-exchange
+    single scan partition — 3.8 s instead of 0.7 s at sf0.1). The cost
+    of the marker is that filters on *passthrough* columns no longer
+    push below the parse either — callers filtering on raw columns
+    (source, doc_id) should filter BEFORE with_parsed, which is where
+    scan-pushdown-eligible predicates belong anyway.
     """
     if from_text:
-        udf_col = parse_text_udf(F.col(from_text))
+        udf_col = parse_text_udf.asNondeterministic()(F.col(from_text))
     else:
         try:  # Spark 4.1+ scalar arrow UDF — no pandas on either side
-            udf_col = make_parse_tokens_arrow_udf()(F.col(tokens_col))
+            udf_col = make_parse_tokens_arrow_udf().asNondeterministic()(
+                F.col(tokens_col)
+            )
         except ImportError:
-            udf_col = parse_tokens_udf(F.col(tokens_col))
+            udf_col = parse_tokens_udf.asNondeterministic()(F.col(tokens_col))
     df = df.withColumn("_p", udf_col)
     parsed_cols = [F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_SCHEMA.fields]
     df = df.select("*", *parsed_cols).drop("_p")

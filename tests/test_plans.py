@@ -56,6 +56,30 @@ def test_parse_stage_shuffle_free(spark, tiny_input):
     assert "BatchEvalPython" not in plan
 
 
+def test_parse_never_duplicated_by_filter_pushdown(spark, tiny_input):
+    """A filter on a parsed column must not re-evaluate the parse UDF
+    below an exchange (Catalyst would otherwise push the predicate
+    through a repartition and run the WHOLE parse twice — once on the
+    under-split pre-exchange side). Pinned via the nondeterministic
+    marker on the UDF; exactly one Python eval node in the plan."""
+    from logparser_spark.functions.parse import with_parsed
+
+    df = (
+        with_parsed(read_raw_sequences(spark, tiny_input).repartition(8))
+        .filter(F.col("valid") == 1)
+        .agg(F.min("epoch_us"), F.max("epoch_us"))
+    )
+    plan = plan_of(df)
+    # formatted explain names each node twice (tree line + detail
+    # section) -> exactly one Python eval node == at most 2 mentions
+    n_evals = (
+        plan.count("ArrowEvalPython")
+        + plan.count("MapInArrow")
+        + plan.count("BatchEvalPython")
+    )
+    assert n_evals == 2, plan[:2000]
+
+
 def test_sink_category_filter_prunes_partitions(sink):
     plan = plan_of(sink(category="denied"))
     # partition filter on the directory column, not a data filter
