@@ -59,6 +59,18 @@ def _exact_jaccard_pairs(
     explicit broadcast() of the candidate subplan measured SLOWER — it
     forces an eager blocking materialization — and would be wrong on
     dup-heavy corpora where candidates aren't small)."""
+    if cand is not None:
+        # Verify-path prune: shingling + explode only the docs that
+        # appear in a candidate pair. Catalyst cannot derive this
+        # (the join keys are produced above the expensive projection),
+        # and at scale candidates << corpus, so this turns the verify
+        # stage's cost from O(all docs) to O(candidate docs).
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        docs = docs.join(cand_docs, "doc_id", "left_semi")
     sh_arr = shingle_arrays(docs)
     sh = sh_arr.select("doc_id", F.explode("sh_list").alias("shingle"))
     sizes = sh_arr.select("doc_id", F.size("sh_list").alias("n_sh"))
@@ -153,19 +165,28 @@ def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
-def _minhash_sig_udf(n_funcs: int, seed: int = 42):
-    """Vectorized MinHash over pre-hashed shingles.
+def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42):
+    """Vectorized MinHash over per-row WORD hashes.
 
-    Input: array<long> of base shingle hashes (xxhash64, JVM-side —
-    exactly one JVM hash per shingle). The n_funcs-member family is
-    derived by universal hashing h_i(x) = a_i*x + b_i (mod 2^64,
-    odd a_i), computed as ONE numpy outer product per Arrow batch with
-    a segmented min-reduce — no per-row Python, no interpreted
-    higher-order functions, tiny plan.
+    Input: array<long> of word hashes (one JVM xxhash64 per word — the
+    only higher-order function left in the stage). The n-gram shingle
+    hash is a numpy window combine of ``ngram`` consecutive word hashes
+    (odd-constant multiply + xor — an injective-enough mix; building
+    shingle *strings* JVM-side ran interpreted concat_ws/slice per
+    element and was ~3x the whole stage's cost). MinHash over the
+    window-hash set preserves set-Jaccard modulo 2^-64 collisions:
+    duplicates don't affect a min, and both window-hash and
+    string-hash sets are images of the same trigram set.
+
+    The n_funcs-member family is h_i(x) = a_i*x + b_i (mod 2^64, odd
+    a_i) — an outer product with a segmented min-reduce, processed in
+    window-blocks of <= 2^19 so the (windows x n_funcs) intermediate
+    stays < ~512 MB regardless of Arrow batch size.
     """
     rng = np.random.default_rng(seed)
     a = (rng.integers(0, 2**63, size=n_funcs, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 2**63, size=n_funcs, dtype=np.uint64)
+    mix = (rng.integers(0, 2**63, size=ngram, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
     @pandas_udf("array<long>")
     def sig(hs: pd.Series) -> pd.Series:
@@ -173,22 +194,43 @@ def _minhash_sig_udf(n_funcs: int, seed: int = 42):
             (0 if x is None else len(x) for x in hs), dtype=np.int64, count=len(hs)
         )
         n = len(lens)
-        if n == 0 or lens.sum() == 0:
+        wlens = np.maximum(lens - (ngram - 1), 0)  # windows per row
+        if n == 0 or wlens.sum() == 0:
             return pd.Series([None] * n)
+        nz = lens > 0
         flat = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x, m in zip(hs, lens) if m]
         ).astype(np.uint64)
-        fam = flat[:, None] * a[None, :] + b[None, :]  # (n_shingles, n_funcs), mod 2^64
-        # reduceat over the starts of NONEMPTY segments only (an empty
-        # trailing segment would index past the end of fam); empty rows
-        # get None. Nonempty segments are contiguous in flat, so their
-        # starts are exactly the reduceat boundaries.
-        nz = lens > 0
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
-        mins_nz = np.minimum.reduceat(fam, starts, axis=0).astype(np.int64)
+        # window combine over the flat buffer, then drop windows that
+        # cross row boundaries
+        wind = flat[: len(flat) - ngram + 1] * mix[0]
+        for k in range(1, ngram):
+            wind = wind ^ (flat[k : len(flat) - ngram + 1 + k] * mix[k])
+        row_of = np.repeat(np.arange(int(nz.sum())), lens[nz])
+        wind = wind[row_of[: len(wind)] == row_of[ngram - 1 :]]
+
+        has_w = wlens > 0
+        starts = np.concatenate(([0], np.cumsum(wlens[has_w])))[:-1]
+        rows_w = np.nonzero(has_w)[0]
         out: list = [None] * n
-        for j, i in enumerate(np.nonzero(nz)[0]):
-            out[i] = mins_nz[j]
+        # block the outer product on segment boundaries (bounded memory)
+        block = 1 << 19
+        seg_lo = 0
+        while seg_lo < len(rows_w):
+            seg_hi = seg_lo
+            while (
+                seg_hi < len(rows_w)
+                and (seg_hi == seg_lo
+                     or starts[seg_hi] + wlens[rows_w[seg_hi]] - starts[seg_lo] <= block)
+            ):
+                seg_hi += 1
+            lo_w = starts[seg_lo]
+            hi_w = starts[seg_hi - 1] + wlens[rows_w[seg_hi - 1]]
+            fam = wind[lo_w:hi_w, None] * a[None, :] + b[None, :]
+            mins = np.minimum.reduceat(fam, starts[seg_lo:seg_hi] - lo_w, axis=0)
+            for j, i in enumerate(rows_w[seg_lo:seg_hi]):
+                out[i] = mins[j].astype(np.int64)
+            seg_lo = seg_hi
         return pd.Series(out)
 
     return sig
@@ -197,16 +239,15 @@ def _minhash_sig_udf(n_funcs: int, seed: int = 42):
 def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS) -> DataFrame:
     """doc_id -> array of n_funcs minhash values.
 
-    Pipeline: shingle sets are row-local arrays (no shuffle), each
-    shingle gets ONE JVM xxhash64, and the per-function mins are a
-    single numpy matrix op per Arrow batch (see _minhash_sig_udf) —
-    the whole signature stage is a pure map stage.
+    Pipeline: one JVM xxhash64 per word (row-local, no shuffle), then
+    window-combine + per-function mins as numpy matrix ops per Arrow
+    batch (see _minhash_sig_udf) — the whole signature stage is a pure
+    map stage with a constant-size plan.
     """
-    sh = shingle_arrays(docs).filter(F.size("sh_list") > 0)
-    hashed = sh.select(
+    hashed = docs.select(
         "doc_id",
-        F.transform("sh_list", lambda s: F.xxhash64(s)).alias("hs"),
-    )
+        F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias("hs"),
+    ).filter(F.size("hs") >= NGRAM)
     return hashed.select(
         "doc_id", _minhash_sig_udf(n_funcs)(F.col("hs")).alias("sig")
     )
