@@ -99,8 +99,10 @@ def _exact_jaccard_pairs(
         .join(F.broadcast(sb), "doc_b")
         .withColumn("jaccard_x1000", F.floor(F.lit(1000.0) * F.col("inter") / union_sz))
         .filter(F.col("inter") / union_sz >= F.lit(threshold))
+        # no global sort: output is a pair *set* (downstream compares
+        # are order-insensitive; a range-partitioned sort would add a
+        # sampling job + full shuffle for nothing)
         .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000")
-        .orderBy("doc_a", "doc_b")
     )
 
 
