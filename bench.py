@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dataset_period",
     "dedup_exact",
     "minhash_lsh",
+    "near_dup_clusters",
     "simhash",
     "simhash_near_dup",
     "embed_near_dup",

@@ -92,6 +92,14 @@ def q_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(documents(spark, sf_dir), max_hamming=3)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the verified near-dup pair graph —
+    (doc_id, cluster_id, is_keeper); the LSH pair set equals the exact
+    baseline at this threshold, so the cluster assignment is exactly
+    checkable against a recursive-CTE oracle."""
+    return dedup.near_dup_clusters(documents(spark, sf_dir), threshold=0.8)
+
+
 def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
@@ -115,6 +123,7 @@ def q_frame_sample(spark, sf_dir):
 
 
 DOC_QUERIES = {
+    "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
     "simhash_near_dup": q_simhash_near_dup,  # rows-only (hash family not in DuckDB)
@@ -222,6 +231,33 @@ SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_
 FROM documents GROUP BY 1 ORDER BY 1""",
     "ngram_jaccard": _JACCARD_SQL,
     "minhash_lsh": _JACCARD_SQL,  # LSH output must equal the exact baseline
+    # connected components via recursive reachability from each node,
+    # component id = min reachable root (same min-label semantics as
+    # the Spark propagation loop)
+    "near_dup_clusters": _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+    + """
+, pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE 1.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(x, root) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.x
+),
+comp AS (SELECT x AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY x)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
     "text_quality": """
 WITH f AS (
   SELECT doc_id,

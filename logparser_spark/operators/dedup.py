@@ -432,3 +432,80 @@ def keep_latest(df: DataFrame, keys: list[str], order_col: str, tie_col: str) ->
         *keys, *[F.col(f"_top.{c}").alias(c) for c in payload]
     )
     return out.select(*df.columns)
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph, one row per document with
+    ``(doc_id, cluster_id, is_keeper)`` — cluster_id = min doc_id of
+    the component, keeper = that minimum (the same keeper rule as
+    ``exact_dedup``). This is the operator a dedup pipeline actually
+    deletes by: pairs alone don't say which rows to keep when dups
+    chain (a~b, b~c).
+
+    ``pairs`` defaults to ``minhash_lsh_pairs`` (the scale path, whose
+    verified output equals the all-pairs baseline at the threshold).
+
+    Algorithm: distributed min-label propagation — each iteration is
+    one join + groupBy over the label table (labels(x) <-
+    min(labels(x), min of neighbours' labels)), converging in
+    O(component diameter) rounds; near-dup components are shallow
+    (dups of one source chain through it), so this terminates in a
+    handful of rounds. Each iteration is localCheckpoint()ed so the
+    plan/lineage stays constant-size across rounds, and convergence is
+    detected with a count of changed labels (a small aggregate job on
+    the label table, NOT a collect of it). At extreme skew (one
+    billion-row component) the alternating large-star/small-star
+    variant bounds per-round shuffle volume; with thresholds >= 0.8
+    components are tiny and plain propagation is the simpler, equally
+    correct plan.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # symmetric neighbour list; nodes = every endpoint
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        nbrs.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            nbrs.join(labels, nbrs.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint()  # constant-size lineage per round
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    # singletons (docs in no pair) are their own cluster
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_keeper"
+        ),
+    )

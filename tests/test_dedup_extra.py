@@ -157,3 +157,39 @@ def test_sessionize_gap_boundary(spark):
         for r in sessionize(df, gap="30 minutes").collect()
     )
     assert got == [("u1", 1), ("u1", 3), ("u2", 1)]
+
+
+def test_near_dup_clusters_match_union_find(spark, docs):
+    """Distributed min-label propagation must equal a driver-side
+    union-find over the same verified pair set (independent algorithm)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        r.doc_id: min(
+            (find(r.doc_id) if r.doc_id in parent else r.doc_id,), default=r.doc_id
+        )
+        for r in docs.select("doc_id").collect()
+    }
+    got = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in dedup.near_dup_clusters(docs, threshold=0.8).collect()
+    }
+    assert len(got) == len(want)
+    assert sum(1 for _ in pairs) > 0  # the fixture must exercise chains
+    for doc, cl in want.items():
+        assert got[doc] == (cl, cl == doc), doc
