@@ -92,6 +92,35 @@ def q_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(documents(spark, sf_dir), max_hamming=3)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator under the driver contract:
+    applyInPandasWithState cross-batch exact dedup (streaming/
+    stateful.py), drained with availableNow over the documents table.
+    One source file -> one micro-batch, so keeper = global min doc_id
+    per hash and the result value-matches the batch arg-min oracle;
+    the cross-batch keeper semantics (first SEEN wins, state survives
+    restart) are pinned by tests/test_streaming_stateful.py."""
+    from logparser_spark.streaming.stateful import streaming_exact_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    name = "stream_dedup_result"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the verified near-dup pair graph —
     (doc_id, cluster_id, is_keeper); the LSH pair set equals the exact
@@ -123,6 +152,7 @@ def q_frame_sample(spark, sf_dir):
 
 
 DOC_QUERIES = {
+    "stream_dedup": q_stream_dedup,
     "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
@@ -229,6 +259,15 @@ FROM (
     "dedup_exact": """
 SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1 ORDER BY 1""",
+    # keeper row per content hash, arg-min by doc_id (single-batch
+    # availableNow drain == batch semantics; see q_stream_dedup)
+    "stream_dedup": """
+SELECT md5(text) AS text_hash, doc_id, source,
+       COALESCE(n_chars, length(text)) AS n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1""",
     "ngram_jaccard": _JACCARD_SQL,
     "minhash_lsh": _JACCARD_SQL,  # LSH output must equal the exact baseline
     # connected components via recursive reachability from each node,

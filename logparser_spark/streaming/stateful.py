@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in streaming operators cover windows and session gaps; what
+they cannot express is cross-batch *set membership* — "emit this row
+only if its key was never seen in ANY earlier micro-batch". That is
+exactly streaming exact-dedup for a training-data ingest: a document
+whose content hash already flowed through the pipe must not be emitted
+again, no matter how many files/batches ago it appeared.
+
+State model: one state row per content-hash group holding the count of
+occurrences seen so far. New groups emit their first row (the keeper);
+existing groups emit nothing and just bump the count. State lives in
+the streaming state store (checkpointed, recovered on restart — the
+restart path is pytest-pinned), and since keys are content hashes the
+state is uniformly partitioned, no skew.
+
+Scale note: state size is O(distinct keys). For unbounded corpora,
+bound it the same way batch dedup would — partition the ingest by
+content-hash prefix and run one query per shard, or expire state with
+``GroupStateTimeout.ProcessingTimeTimeout`` when "seen recently" is an
+acceptable dedup contract. Both knobs are orthogonal to the operator's
+logic below.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# emitted: the first-seen row per content hash
+DEDUP_OUTPUT_SCHEMA = (
+    "text_hash string, doc_id long, source string, n_chars long"
+)
+DEDUP_STATE_SCHEMA = "seen long"
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per content-hash group: emit the min-doc_id row on first sight,
+    count-only afterwards. Runs once per group per micro-batch with the
+    group's rows as pandas batches."""
+    seen = state.get[0] if state.exists else 0
+    first = None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        cand = pdf.loc[pdf["doc_id"].idxmin()]
+        if first is None or cand["doc_id"] < first["doc_id"]:
+            first = cand
+    state.update((seen + n,))
+    if seen == 0 and first is not None:
+        yield pd.DataFrame(
+            {
+                "text_hash": [key[0]],
+                "doc_id": [int(first["doc_id"])],
+                "source": [first["source"]],
+                "n_chars": [int(first["n_chars"])],
+            }
+        )
+
+
+def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """documents stream -> stream of first-seen (keeper) rows per
+    md5(text), deduplicated ACROSS micro-batches via keyed state.
+
+    (``dropDuplicates`` on a stream also keeps state, but cannot pick
+    the keeper row by a rule, report per-key occurrence counts, or
+    attach expiry policy — the reasons this is a custom operator.)
+    """
+    keyed = docs_stream.select(
+        F.md5("text").alias("text_hash"),
+        "doc_id",
+        "source",
+        F.coalesce("n_chars", F.length("text")).alias("n_chars"),
+    )
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_dedup_sink(deduped: DataFrame, out_root: str):
+    """Append the keeper stream to a parquet sink with its own
+    checkpoint (state + sink log recovered together on restart)."""
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_root, "keepers"))
+        .option("checkpointLocation", os.path.join(out_root, "_dedup_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

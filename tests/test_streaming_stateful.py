@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator (applyInPandasWithState):
+cross-batch exact dedup. A key emitted in one run of the query must
+never be emitted again after a restart — the state store, not the
+micro-batch, is the set of seen hashes."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from logparser_spark.streaming.stateful import start_dedup_sink, streaming_exact_dedup
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+        DOCS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stateful")
+    src = str(base / "src")
+    out = str(base / "out")
+    os.makedirs(src)
+    return src, out
+
+
+def _drain(spark, src, out):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    q = start_dedup_sink(streaming_exact_dedup(stream), out)
+    q.awaitTermination(300)
+
+
+def _keepers(spark, out):
+    return {
+        r.text_hash: r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "keepers")).collect()
+    }
+
+
+def test_dedup_within_and_across_batches(spark, dirs):
+    src, out = dirs
+    # batch 1: "alpha" duplicated (keeper = min doc_id), "beta" unique
+    _write_docs(
+        spark,
+        src,
+        [
+            (11, "alpha text", "en", "s1", 10),
+            (7, "alpha text", "en", "s2", 10),
+            (20, "beta text", "en", "s1", 9),
+        ],
+    )
+    _drain(spark, src, out)
+    k1 = _keepers(spark, out)
+    assert sorted(k1.values()) == [7, 20]  # min doc_id kept for alpha
+
+    # batch 2 (restart, same checkpoint): a dup of alpha from batch 1
+    # and one genuinely new doc — only the new doc may be emitted
+    _write_docs(
+        spark,
+        src,
+        [
+            (3, "alpha text", "en", "s3", 10),  # seen in a PREVIOUS run
+            (40, "gamma text", "en", "s1", 10),
+        ],
+    )
+    _drain(spark, src, out)
+    k2 = _keepers(spark, out)
+    assert sorted(k2.values()) == [7, 20, 40]
+    # alpha's keeper is still the batch-1 row: state survived restart
+    assert set(k2.items()) >= set(k1.items())
+
+
+def test_dedup_restart_emits_nothing_new(spark, dirs):
+    src, out = dirs
+    _write_docs(spark, src, [(1, "only doc", "en", "s", 8)])
+    _drain(spark, src, out)
+    _drain(spark, src, out)  # no new input: replay must add nothing
+    assert list(_keepers(spark, out).values()) == [1]
