@@ -182,8 +182,9 @@ def _pipeline_block_guarded() -> dict:
     # we just timed. Scale the pipeline-block estimate by it.
     contention = max(1.0, elapsed / _HEADLINE_EXPECTED_SEC)
     est = _PIPELINE_EST_SEC["warmup"] + _PIPELINE_EST_SEC["trial"]
-    marker = "/root/repo/fixtures_cache/sf-bench/raw_sequences/_SUCCESS"
-    if not os.path.exists(marker):
+    from logparser_spark.fixtures import fixture_marker
+
+    if not os.path.exists(fixture_marker("bench")):
         est += _PIPELINE_EST_SEC["fixture"]
     est *= contention
     if elapsed + est > BENCH_BUDGET_SEC:

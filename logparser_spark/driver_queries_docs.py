@@ -263,7 +263,7 @@ FROM documents GROUP BY 1 ORDER BY 1""",
     # availableNow drain == batch semantics; see q_stream_dedup)
     "stream_dedup": """
 SELECT md5(text) AS text_hash, doc_id, source,
-       COALESCE(n_chars, length(text)) AS n_chars
+       COALESCE(n_chars, length(text), 0) AS n_chars
 FROM (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents

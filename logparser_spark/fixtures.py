@@ -279,11 +279,21 @@ def dim_tables() -> dict[str, pd.DataFrame]:
     return {"dim_action": dim_action, "dim_source": dim_source, "dim_ip_class": dim_ip_class}
 
 
-def ensure_fixture(scale: str, base_dir: str = "/root/repo/fixtures_cache") -> str:
+FIXTURE_BASE_DIR = "/root/repo/fixtures_cache"
+
+
+def fixture_marker(scale: str, base_dir: str = FIXTURE_BASE_DIR) -> str:
+    """Path of the completeness marker for a named fixture scale — the
+    single definition of the cache layout (bench.py's budget probe and
+    ensure_fixture must agree on it)."""
+    return os.path.join(base_dir, f"sf-{scale}", "raw_sequences", "_SUCCESS")
+
+
+def ensure_fixture(scale: str, base_dir: str = FIXTURE_BASE_DIR) -> str:
     """Idempotently materialize a named scale; returns raw_sequences path."""
     rows = {"tiny": 10_000, "small": 1_000_000, "bench": 10_000_000, "huge": 100_000_000}[scale]
     out = os.path.join(base_dir, f"sf-{scale}")
-    marker = os.path.join(out, "raw_sequences", "_SUCCESS")
+    marker = fixture_marker(scale, base_dir)
     if not os.path.exists(marker):
         p = write_raw_sequences(out, rows, files=8 if scale == "tiny" else (256 if scale == "huge" else 32))
         open(marker, "w").write("ok")

@@ -456,10 +456,20 @@ def parse_tokens_udf(tokens: pd.Series) -> pd.DataFrame:
     return parse_lines(lines)
 
 
+# Marked ONCE at definition (asNondeterministic mutates the UDF object
+# in place — calling it lazily at a use site would silently flip the
+# shared export's planner behavior mid-process). Rationale for the
+# marker itself: see with_parsed.
+parse_tokens_udf = parse_tokens_udf.asNondeterministic()
+
+
 @pandas_udf(PARSED_SCHEMA)
 def parse_text_udf(lines: pd.Series) -> pd.DataFrame:
     """Same parse over already-decoded text (driver-oracle path)."""
     return parse_lines(lines.fillna(""))
+
+
+parse_text_udf = parse_text_udf.asNondeterministic()
 
 
 def _decode_list_array(col) -> list[str]:
@@ -537,7 +547,7 @@ def make_parse_tokens_arrow_udf():
             names=[f.name for f in PARSED_SCHEMA.fields],
         )
 
-    return parse_tokens_arrow
+    return parse_tokens_arrow.asNondeterministic()
 
 
 def _arrow_schema_with_parsed(df):
@@ -577,14 +587,12 @@ def with_parsed(df, tokens_col: str = "tokens", from_text: str | None = None):
     scan-pushdown-eligible predicates belong anyway.
     """
     if from_text:
-        udf_col = parse_text_udf.asNondeterministic()(F.col(from_text))
+        udf_col = parse_text_udf(F.col(from_text))
     else:
         try:  # Spark 4.1+ scalar arrow UDF — no pandas on either side
-            udf_col = make_parse_tokens_arrow_udf().asNondeterministic()(
-                F.col(tokens_col)
-            )
+            udf_col = make_parse_tokens_arrow_udf()(F.col(tokens_col))
         except ImportError:
-            udf_col = parse_tokens_udf.asNondeterministic()(F.col(tokens_col))
+            udf_col = parse_tokens_udf(F.col(tokens_col))
     df = df.withColumn("_p", udf_col)
     parsed_cols = [F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_SCHEMA.fields]
     df = df.select("*", *parsed_cols).drop("_p")

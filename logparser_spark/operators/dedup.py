@@ -167,7 +167,7 @@ def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
-def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42):
+def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42, block: int = 1 << 19):
     """Vectorized MinHash over per-row WORD hashes.
 
     Input: array<long> of word hashes (one JVM xxhash64 per word — the
@@ -183,7 +183,8 @@ def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42):
     The n_funcs-member family is h_i(x) = a_i*x + b_i (mod 2^64, odd
     a_i) — an outer product with a segmented min-reduce, processed in
     window-blocks of <= 2^19 so the (windows x n_funcs) intermediate
-    stays < ~512 MB regardless of Arrow batch size.
+    stays < ~512 MB regardless of Arrow batch size (a single row
+    longer than the block takes a running-min sub-chunk path).
     """
     rng = np.random.default_rng(seed)
     a = (rng.integers(0, 2**63, size=n_funcs, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
@@ -216,7 +217,6 @@ def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42):
         rows_w = np.nonzero(has_w)[0]
         out: list = [None] * n
         # block the outer product on segment boundaries (bounded memory)
-        block = 1 << 19
         seg_lo = 0
         while seg_lo < len(rows_w):
             seg_hi = seg_lo
@@ -227,11 +227,25 @@ def _minhash_sig_udf(n_funcs: int, ngram: int = NGRAM, seed: int = 42):
             ):
                 seg_hi += 1
             lo_w = starts[seg_lo]
-            hi_w = starts[seg_hi - 1] + wlens[rows_w[seg_hi - 1]]
-            fam = wind[lo_w:hi_w, None] * a[None, :] + b[None, :]
-            mins = np.minimum.reduceat(fam, starts[seg_lo:seg_hi] - lo_w, axis=0)
-            for j, i in enumerate(rows_w[seg_lo:seg_hi]):
-                out[i] = mins[j].astype(np.int64)
+            seg0 = rows_w[seg_lo]
+            if seg_hi == seg_lo + 1 and wlens[seg0] > block:
+                # one pathological row longer than the block: running
+                # min over sub-chunks so the bound holds per row too
+                acc = None
+                for off in range(0, int(wlens[seg0]), block):
+                    part = (
+                        wind[lo_w + off : lo_w + min(off + block, int(wlens[seg0])), None]
+                        * a[None, :]
+                        + b[None, :]
+                    ).min(axis=0)
+                    acc = part if acc is None else np.minimum(acc, part)
+                out[seg0] = acc.astype(np.int64)
+            else:
+                hi_w = starts[seg_hi - 1] + wlens[rows_w[seg_hi - 1]]
+                fam = wind[lo_w:hi_w, None] * a[None, :] + b[None, :]
+                mins = np.minimum.reduceat(fam, starts[seg_lo:seg_hi] - lo_w, axis=0)
+                for j, i in enumerate(rows_w[seg_lo:seg_hi]):
+                    out[i] = mins[j].astype(np.int64)
             seg_lo = seg_hi
         return pd.Series(out)
 
@@ -480,6 +494,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             nbrs.join(labels, nbrs.dst == labels.doc_id)
@@ -500,7 +515,16 @@ def near_dup_clusters(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # an unconverged label table would assign several cluster_ids
+        # (and keepers) to ONE true component — silently wrong dedup.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); raise max_iters — "
+            "rounds are O(diameter), not O(docs)"
+        )
     # singletons (docs in no pair) are their own cluster
     return docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",

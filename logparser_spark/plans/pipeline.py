@@ -77,9 +77,6 @@ def run_pipeline(
     reference's live-status + cancel surface (LogParsingService.java:
     83-166,520-595).
     """
-    import glob as _glob
-    import os as _os
-
     if progress:
         from logparser_spark.plans.progress import ProgressReporter
 

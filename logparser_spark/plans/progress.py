@@ -79,13 +79,21 @@ class ProgressReporter:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
-        self._write(self._snapshot(final=True))
-        # clear this thread's group (setJobGroup requires strings;
-        # local properties accept None as "unset")
-        sc = self.spark.sparkContext
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        sc.setLocalProperty("spark.job.description", None)
-        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        # teardown must never mask the body's real exception: the
+        # context (or whole session) may already be dead here
+        try:
+            self._write(self._snapshot(final=True))
+        except Exception:
+            pass
+        try:
+            # clear this thread's group (setJobGroup requires strings;
+            # local properties accept None as "unset")
+            sc = self.spark.sparkContext
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        except Exception:
+            pass
 
     def cancel(self) -> None:
         """Stop every job of this run (thread-safe; callable from any

@@ -213,6 +213,11 @@ def merge_upsert(
     """Run the MERGE INTO form of upsert_ignore/upsert_replace against a
     real Iceberg table (single atomic commit, no read-modify-write)."""
     _check_sql_identifier(target_table, "target_table")
+    for c in new.columns:
+        _check_sql_identifier(c, "column")
+    for k in keys:
+        if k not in new.columns:
+            raise ValueError(f"merge key {k!r} is not a column of the source frame")
     if not iceberg_available(spark):
         raise NotImplementedError(
             "MERGE INTO needs the Iceberg runtime; use operators.upsert."

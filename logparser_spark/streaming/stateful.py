@@ -55,12 +55,15 @@ def _dedup_fn(
             first = cand
     state.update((seen + n,))
     if seen == 0 and first is not None:
+        n_chars = first["n_chars"]
         yield pd.DataFrame(
             {
                 "text_hash": [key[0]],
                 "doc_id": [int(first["doc_id"])],
                 "source": [first["source"]],
-                "n_chars": [int(first["n_chars"])],
+                # NULL text -> NULL n_chars arrives as NaN; emit 0
+                # (mirrored by the oracle's final COALESCE(..., 0))
+                "n_chars": [int(n_chars) if pd.notna(n_chars) else 0],
             }
         )
 
@@ -77,7 +80,7 @@ def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
         F.md5("text").alias("text_hash"),
         "doc_id",
         "source",
-        F.coalesce("n_chars", F.length("text")).alias("n_chars"),
+        F.coalesce("n_chars", F.length("text"), F.lit(0)).alias("n_chars"),
     )
     return keyed.groupBy("text_hash").applyInPandasWithState(
         _dedup_fn,

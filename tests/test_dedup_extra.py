@@ -193,3 +193,50 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     assert sum(1 for _ in pairs) > 0  # the fixture must exercise chains
     for doc, cl in want.items():
         assert got[doc] == (cl, cl == doc), doc
+
+
+def test_minhash_kernel_block_paths_agree(spark):
+    """The memory-bounded block paths (multi-segment grouping AND the
+    single-oversized-row running-min path) must produce bit-identical
+    signatures to the unblocked kernel."""
+    import pyspark.sql.functions as F
+
+    texts = [
+        (0, "one two three four five six"),
+        (1, " ".join(f"w{i % 7}" for i in range(500))),  # >> tiny block
+        (2, "alpha beta gamma"),
+        (3, " ".join(f"t{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    hashed = df.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias("hs"),
+    )
+    big = {
+        r.doc_id: list(r.sig)
+        for r in hashed.select(
+            "doc_id", dedup._minhash_sig_udf(32)("hs").alias("sig")
+        ).collect()
+    }
+    tiny = {
+        r.doc_id: list(r.sig)
+        for r in hashed.select(
+            "doc_id", dedup._minhash_sig_udf(32, block=8)("hs").alias("sig")
+        ).collect()
+    }
+    assert big == tiny
+
+
+def test_near_dup_clusters_raises_when_unconverged(spark):
+    """A chain longer than max_iters must raise, never return a split
+    component silently."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(docs, pairs=chain, max_iters=2)
+    out = dedup.near_dup_clusters(docs, pairs=chain, max_iters=10).collect()
+    assert {r.cluster_id for r in out} == {0}

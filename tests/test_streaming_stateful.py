@@ -81,3 +81,17 @@ def test_dedup_restart_emits_nothing_new(spark, dirs):
     _drain(spark, src, out)
     _drain(spark, src, out)  # no new input: replay must add nothing
     assert list(_keepers(spark, out).values()) == [1]
+
+
+def test_dedup_tolerates_null_text(spark, dirs):
+    """Dirty data the batch path tolerates must not kill the stream:
+    a NULL-text row groups under a NULL hash and emits n_chars=0."""
+    src, out = dirs
+    _write_docs(spark, src, [(5, None, "en", "s", None), (6, "ok", "en", "s", 2)])
+    _drain(spark, src, out)
+    rows = {
+        r.doc_id: (r.text_hash, r.n_chars)
+        for r in spark.read.parquet(os.path.join(out, "keepers")).collect()
+    }
+    assert rows[6] == (rows[6][0], 2)
+    assert rows[5][0] is None and rows[5][1] == 0
