@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "embed_near_dup",
     "text_quality",
     "token_counts",
+    "ngram_vocab",
     "lang_id",
     "fingerprint",
     "ann_brute",

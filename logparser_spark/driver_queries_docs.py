@@ -59,6 +59,10 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(documents(spark, sf_dir))
 
 
+def q_ngram_vocab(spark, sf_dir):
+    return textstats.ngram_vocab(documents(spark, sf_dir), n=3, k=100)
+
+
 def q_ann_brute(spark, sf_dir):
     return similarity.brute_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
@@ -168,6 +172,7 @@ DOC_QUERIES = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
+    "ngram_vocab": q_ngram_vocab,
     "fingerprint": q_fingerprint,  # rows-only
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,  # rows-only (approximate by design)
@@ -297,6 +302,14 @@ SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    # top-k n-grams by document frequency; `sh` in the CTE is already
+    # the DISTINCT (doc_id, shingle) set, so COUNT(*) = doc freq.
+    # Tie-break pinned to (doc_freq DESC, shingle ASC) in both engines.
+    "ngram_vocab": _SHINGLE_CTE
+    + """
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle LIMIT 100""",
     "text_quality": """
 WITH f AS (
   SELECT doc_id,
