@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "media_stats",
     "media_decode",
     "frame_sample",
+    "dup_spans",
+    "token_repetition",
+    "token_len_quantiles",
 ]
 
 

@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from logparser_spark.functions.classify import category_expr
 from logparser_spark.functions.parse import with_parsed
-from logparser_spark.linegen import duckdb_parsed_cte, line_expr_spark
+from logparser_spark.linegen import duckdb_parsed_cte, line_expr_duckdb, line_expr_spark
 from logparser_spark.operators import aggregates as agg
+from logparser_spark.operators import tokenstats
 from logparser_spark.operators.util import spread
 from logparser_spark.operators.sessionize import sessionize_oracle_sql
 
@@ -70,6 +71,19 @@ def derive_routed(ev: DataFrame) -> DataFrame:
             F.col("valid"), F.coalesce(F.col("action"), F.lit("")), F.col("status_code")
         ),
     )
+
+
+def tokenized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> line -> tokens only (no parse): the input shape of the
+    token-payload operators — (doc_id, source, tokens:array<int>)."""
+    df = events(spark, sf_dir).select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.expr(line_expr_spark()).alias("line"),
+    )
+    return df.withColumn(
+        "tokens", F.transform(F.split("line", ""), lambda c: F.ascii(c))
+    ).drop("line")
 
 
 # ---------------------------------------------------------------------
@@ -359,6 +373,128 @@ def q_stream_hourly(spark, sf_dir):
     return spark.table(name).orderBy("window_start_us", "category")
 
 
+# ---------------------------------------------------------------------
+# token-payload queries (tokens:array<int32> — the north-rule payload)
+# ---------------------------------------------------------------------
+
+_DUP_K = 20  # corpus-dup window length (tokens)
+_REP_K = 4  # within-doc repetition window length
+
+
+def q_dup_spans(spark, sf_dir):
+    """Corpus-level duplicate k-token-window stats per document
+    (exact-substring-dedup primitive). Oracle equivalence: one token
+    per code point, so a k-token window == a k-char substring."""
+    return tokenstats.dup_span_stats(tokenized_events(spark, sf_dir), k=_DUP_K)
+
+
+def q_token_repetition(spark, sf_dir):
+    """Within-doc repeated-window excess (Gopher repetition gate) —
+    row-local, zero-shuffle map stage."""
+    return tokenstats.doc_repetition(tokenized_events(spark, sf_dir), k=_REP_K)
+
+
+def q_token_len_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of sequence token counts per source via the
+    histogram-quantile operator (domain-bounded state, never row-
+    buffering)."""
+    df = tokenized_events(spark, sf_dir).select(
+        "source", F.size("tokens").alias("n_tok")
+    )
+    return tokenstats.hist_quantiles(df, "n_tok", ["source"])
+
+
+def _token_lines_cte() -> str:
+    return f"""
+WITH lines AS (
+  SELECT event_id AS doc_id, event_type AS source, ({line_expr_duckdb()}) AS line
+  FROM events
+)"""
+
+
+def _token_wins_cte(k: int) -> str:
+    return (
+        _token_lines_cte()
+        + f""",
+pos AS (
+  SELECT doc_id, line, unnest(range(1, length(line) - {k} + 2)) AS i FROM lines
+),
+wins AS (SELECT doc_id, substr(line, CAST(i AS INT), {k}) AS w FROM pos)"""
+    )
+
+
+def _dup_spans_oracle() -> str:
+    return (
+        _token_wins_cte(_DUP_K)
+        + """,
+occ AS (SELECT w, COUNT(*) AS occ FROM wins GROUP BY w),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS dup_windows
+  FROM wins JOIN occ USING (w) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(COALESCE(1000 * p.dup_windows // p.n_windows, 0) AS BIGINT) AS dup_frac_x1000
+FROM lines l LEFT JOIN per p USING (doc_id)"""
+    )
+
+
+def _token_repetition_oracle() -> str:
+    return (
+        _token_wins_cte(_REP_K)
+        + """,
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         COUNT(*) - COUNT(DISTINCT w) AS dup_excess
+  FROM wins GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.dup_excess, 0) AS BIGINT) AS dup_excess,
+       CAST(COALESCE(1000 * p.dup_excess // p.n_windows, 0) AS BIGINT) AS rep_frac_x1000
+FROM lines l LEFT JOIN per p USING (doc_id)"""
+    )
+
+
+def _token_len_quantiles_oracle() -> str:
+    """Same integer interpolation as tokenstats.hist_quantiles:
+    t = q_num*(n-1); result = 1000*v[t//1000] + (t%1000)*(v[t//1000+1]
+    - v[t//1000]) — exact BIGINT arithmetic end to end."""
+    return (
+        _token_lines_cte()
+        + """,
+hist AS (SELECT source, length(line) AS v, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT source, v, CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+  FROM hist
+),
+pts AS (
+  SELECT t.source, CAST(q.q_num AS BIGINT) AS q_num,
+         q.q_num * (t.n - 1) // 1000 AS lo,
+         q.q_num * (t.n - 1) % 1000 AS rem
+  FROM tot t CROSS JOIN (SELECT unnest([500, 900, 990]) AS q_num) q
+),
+vlo AS (
+  SELECT p.source, p.q_num, p.rem, MIN(c.v) AS v_lo
+  FROM pts p JOIN cum c ON c.source = p.source AND c.cum > p.lo
+  GROUP BY 1, 2, 3
+),
+vhi AS (
+  SELECT p.source, p.q_num, MIN(c.v) AS v_hi
+  FROM pts p JOIN cum c
+    ON c.source = p.source
+   AND c.cum > p.lo + CASE WHEN p.rem > 0 THEN 1 ELSE 0 END
+  GROUP BY 1, 2
+)
+SELECT l.source, l.q_num,
+       CAST(1000 * l.v_lo + l.rem * (h.v_hi - l.v_lo) AS BIGINT) AS q_x1000
+FROM vlo l JOIN vhi h USING (source, q_num)"""
+    )
+
+
 def _cte():
     return duckdb_parsed_cte()
 
@@ -484,6 +620,9 @@ SELECT username, event_id, epoch_us FROM (
          row_number() OVER (PARTITION BY username ORDER BY epoch_us DESC, event_id DESC) AS rn
   FROM parsed WHERE valid
 ) WHERE rn = 1 ORDER BY username""",
+    "dup_spans": _dup_spans_oracle(),
+    "token_repetition": _token_repetition_oracle(),
+    "token_len_quantiles": _token_len_quantiles_oracle(),
 }
 
 PIPELINE_QUERIES = {
@@ -505,4 +644,7 @@ PIPELINE_QUERIES = {
     "sessions": q_sessions,
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
+    "dup_spans": q_dup_spans,
+    "token_repetition": q_token_repetition,
+    "token_len_quantiles": q_token_len_quantiles,
 }

@@ -1,0 +1,266 @@
+"""Token-array-native statistics over pre-tokenized sequences
+(doc_id, tokens:array<int32>) — the training-data-dedup operators that
+work directly on the token payload instead of decoded text:
+
+* ``dup_span_stats``  — corpus-level duplicate k-token-window detection
+  (the exact-substring-dedup primitive from "Deduplicating Training
+  Data Makes Language Models Better": a window that occurs more than
+  once anywhere in the corpus marks its positions as duplicated).
+* ``doc_repetition`` — within-document repeated-n-gram excess (the
+  Gopher-style repetition quality gate), a pure map stage.
+* ``hist_quantiles`` — EXACT distribution quantiles computed from a
+  value histogram (scale-safe: per-group state is bounded by the value
+  DOMAIN, never the row count — unlike ``percentile()`` which buffers
+  every row per group).
+
+The rolling window hash is an order-preserving polynomial hash mod
+2^64 computed with ONE vectorized pass per Arrow batch: prefix sums of
+token*B^pos wrap in uint64, and because B is odd it is invertible mod
+2^64, so every window hash is a (prefix difference) * B^-start —
+O(total_tokens) work, no per-window loop, no (windows x k) intermediate.
+Reference parity: there is no token-level dedup in the reference (it
+dedups rows via DB keys, schema.sql:35); these are the §2-extension
+training-data ops required by the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Odd multiplier (golden-ratio constant) -> invertible mod 2^64, so the
+# prefix-difference trick below recovers a canonical per-window hash.
+_B = 0x9E3779B97F4A7C15
+_B_INV = pow(_B, -1, 1 << 64)
+_MASK = (1 << 64) - 1
+
+
+def _window_hash_batch(tok_series: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-row arrays of rolling k-window hashes, one vectorized pass.
+
+    h(row, i) = sum_{j<k} t[i+j] * B^j  (mod 2^64), computed as
+    (C[g+k] - C[g]) * B^-i where C is the running cumsum of
+    t * B^(local_pos) over the batch-flattened token array. Window
+    differences never cross row boundaries (only i <= len-k emitted),
+    so the flat cumsum is safe.
+    """
+    n = len(tok_series)
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in tok_series), dtype=np.int64, count=n
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return [np.empty(0, dtype=np.int64)] * n
+
+    flat = np.empty(total, dtype=np.uint64)
+    for i, x in enumerate(tok_series):
+        if lens[i]:
+            flat[offs[i] : offs[i + 1]] = np.asarray(x, dtype=np.int64).astype(
+                np.uint64
+            )
+
+    max_len = int(lens.max())
+    pw = np.empty(max_len, dtype=np.uint64)
+    pw[0] = 1
+    if max_len > 1:
+        np.cumprod(np.full(max_len - 1, _B, dtype=np.uint64), out=pw[1:])
+    ipw = np.empty(max_len, dtype=np.uint64)
+    ipw[0] = 1
+    if max_len > 1:
+        np.cumprod(np.full(max_len - 1, _B_INV, dtype=np.uint64), out=ipw[1:])
+
+    local = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    cum = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(flat * pw[local], out=cum[1:])
+
+    wlens = np.maximum(lens - k + 1, 0)
+    woffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wlens, out=woffs[1:])
+    tw = int(woffs[-1])
+    if tw == 0:
+        return [np.empty(0, dtype=np.int64)] * n
+    wlocal = np.arange(tw, dtype=np.int64) - np.repeat(woffs[:-1], wlens)
+    g = np.repeat(offs[:-1], wlens) + wlocal
+    h = ((cum[g + k] - cum[g]) * ipw[wlocal]).view(np.int64)
+    return [h[woffs[i] : woffs[i + 1]] for i in range(n)]
+
+
+def window_hash_udf(k: int):
+    """array<int> tokens -> array<long> of the row's k-window hashes.
+
+    Nondeterministic-marked at definition so Catalyst never duplicates
+    the kernel by pushing a filter on a derived column below an
+    exchange (same trade as the parse UDF — see functions/parse.py).
+    """
+
+    @pandas_udf("array<long>")
+    def wh(tokens: pd.Series) -> pd.Series:
+        return pd.Series(_window_hash_batch(tokens, k))
+
+    return wh.asNondeterministic()
+
+
+def with_window_hashes(
+    df: DataFrame, k: int, tokens_col: str = "tokens", out_col: str = "win_hashes"
+) -> DataFrame:
+    return df.withColumn(out_col, window_hash_udf(k)(F.col(tokens_col)))
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus-duplicate token windows per document.
+
+    Output: (doc_id, n_windows, dup_windows, dup_frac_x1000) where
+    dup_windows counts positions whose k-token window occurs more than
+    once ANYWHERE in the corpus (including elsewhere in the same doc).
+
+    Scale plan (the canonical exact-span-dedup DAG): hash windows in a
+    pure map stage -> explode -> ONE count groupBy on the 64-bit window
+    hash (uniform keys; Zipf-hot windows combine map-side in the
+    partial aggregate) -> join positions back on the hash (build side
+    is one row per distinct window; probe-side hot keys are AQE
+    skew-split) -> per-doc count groupBy. Integer-only outputs.
+
+    A 64-bit order-preserving hash stands in for the window itself
+    (equal windows always collide; a false collision needs
+    sum(delta_j * B^j) = 0 mod 2^64 with |delta| < 2^21 — not reachable
+    by this data, and the oracle comparison would expose it).
+    """
+    hashed = with_window_hashes(
+        df.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    )
+    pos = hashed.select("doc_id", F.explode_outer("win_hashes").alias("h"))
+    if materialize:
+        # The exploded positions feed TWO consumers (the per-window
+        # count and the join probe); without materialization Spark
+        # re-executes the tokenize+hash subtree per consumer (no
+        # exchange reuse across a nondeterministic UDF). Persisting the
+        # 16-byte (doc_id, h) rows once is the standard
+        # substring-dedup shape: storage ~2x the token payload,
+        # disk-spilling, vs re-reading + re-hashing the corpus.
+        from pyspark import StorageLevel
+
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    occ = (
+        pos.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    dup = occ.where(F.col("occ") > 1).select("h", F.lit(True).alias("is_dup"))
+    marked = pos.join(dup, "h", "left")
+    out = marked.groupBy("doc_id").agg(
+        F.count("h").alias("n_windows"),
+        F.count(F.when(F.col("is_dup"), F.lit(1))).alias("dup_windows"),
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        F.expr(
+            "CASE WHEN n_windows = 0 THEN 0L"
+            " ELSE (1000 * dup_windows) div n_windows END"
+        ).alias("dup_frac_x1000"),
+    )
+
+
+def doc_repetition(
+    df: DataFrame, k: int = 4, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Within-document repeated-window excess (Gopher repetition gate).
+
+    dup_excess = n_windows - n_distinct_windows, computed row-locally
+    (array_distinct on the hash array) — a pure map stage with NO
+    shuffle at any scale; the natural pre-filter before the corpus-wide
+    ``dup_span_stats`` pass.
+    """
+    hashed = with_window_hashes(
+        df.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    )
+    n_win = F.size("win_hashes").cast("long")
+    n_distinct = F.size(F.array_distinct("win_hashes")).cast("long")
+    return hashed.select(
+        "doc_id",
+        n_win.alias("n_windows"),
+        (n_win - n_distinct).alias("dup_excess"),
+        F.expr(
+            "CASE WHEN size(win_hashes) = 0 THEN 0L"
+            " ELSE (1000 * (size(win_hashes) - size(array_distinct(win_hashes))))"
+            " div size(win_hashes) END"
+        ).cast("long").alias("rep_frac_x1000"),
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q_nums: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Exact linear-interpolated quantiles (quantile_cont semantics)
+    from a value histogram, in integer arithmetic.
+
+    For quantile q = q_num/1000 over n values: target index
+    t = q_num*(n-1) (thousandths), lo = t // 1000, rem = t % 1000,
+    result_x1000 = 1000*v[lo] + rem*(v[lo+1] - v[lo]) — exact integers
+    end to end, so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale plan: ONE groupBy on (group, value) with map-side partials
+    does all the data-sized work; the packed per-group histogram is
+    bounded by the value DOMAIN (token counts are line-length-bounded),
+    not the row count — the buffering ``percentile()`` aggregate would
+    OOM at 10^12 rows, this cannot. For unbounded/continuous domains,
+    bucketize the value first or use approx_percentile.
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    packed = hist.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(value_col).cast("long").alias("v"), F.col("cnt"))
+            )
+        ).alias("h")
+    )
+
+    qn = list(q_nums)
+
+    @pandas_udf("array<long>")
+    def qk(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            vs = [int(e["v"]) for e in h]
+            cum = np.cumsum([int(e["cnt"]) for e in h])
+            n = int(cum[-1]) if len(cum) else 0
+            row = []
+            for q in qn:
+                if n == 0:
+                    row.append(None)
+                    continue
+                t = q * (n - 1)
+                lo, rem = divmod(t, 1000)
+                v_lo = vs[int(np.searchsorted(cum, lo, side="right"))]
+                v_hi = (
+                    v_lo
+                    if rem == 0
+                    else vs[int(np.searchsorted(cum, lo + 1, side="right"))]
+                )
+                row.append(1000 * v_lo + rem * (v_hi - v_lo))
+            out.append(row)
+        return pd.Series(out)
+
+    packed = packed.withColumn("qv", qk("h"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q).cast("long") for q in qn]).alias("q_num"),
+        F.col("qv").alias("q_x1000"),
+    )
+    return packed.select(
+        *group_cols, F.explode(pairs).alias("p")
+    ).select(*group_cols, F.col("p.q_num").alias("q_num"), F.col("p.q_x1000").alias("q_x1000"))

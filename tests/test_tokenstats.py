@@ -1,0 +1,164 @@
+"""Token-payload operators: rolling window hash kernel, corpus dup-span
+stats, within-doc repetition, histogram-exact quantiles."""
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators import tokenstats
+from logparser_spark.operators.tokenstats import (
+    _B,
+    _MASK,
+    _window_hash_batch,
+    doc_repetition,
+    dup_span_stats,
+    hist_quantiles,
+)
+
+
+def naive_window_hash(tokens, k):
+    out = []
+    for i in range(max(len(tokens) - k + 1, 0)):
+        h = 0
+        for j in range(k):
+            h = (h + tokens[i + j] * pow(_B, j, 1 << 64)) & _MASK
+        out.append(h - (1 << 64) if h >= 1 << 63 else h)
+    return out
+
+
+def test_kernel_matches_naive_polynomial():
+    rng = np.random.default_rng(7)
+    rows = [
+        rng.integers(0, 1 << 20, size=n).astype(np.int32)
+        for n in [0, 1, 3, 4, 5, 17, 100]
+    ]
+    rows.append(None)
+    got = _window_hash_batch(pd.Series(rows, dtype=object), k=4)
+    for r, g in zip(rows, got):
+        exp = naive_window_hash([] if r is None else [int(x) for x in r], 4)
+        assert list(g) == exp
+
+
+def test_kernel_equal_windows_equal_hashes():
+    # identical windows at different positions and in different rows
+    # must collide; differing windows must not (on this data)
+    a = [5, 6, 7, 8, 1, 5, 6, 7, 8]
+    b = [9, 9, 5, 6, 7, 8]
+    ha, hb = _window_hash_batch(pd.Series([a, b]), k=4)
+    assert ha[0] == ha[5] == hb[2]
+    assert len(set(list(ha) + list(hb))) == len(ha) + len(hb) - 2
+
+
+def test_dup_span_stats_tiny(spark):
+    # doc 1 shares its only 3-window with doc 2's first window; doc 3 is
+    # unique; doc 4 too short for any window
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3]),
+            (2, [1, 2, 3, 4]),
+            (3, [7, 8, 9]),
+            (4, [1]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {
+        r["doc_id"]: r.asDict() for r in dup_span_stats(df, k=3).collect()
+    }
+    assert rows[1] == {
+        "doc_id": 1, "n_windows": 1, "dup_windows": 1, "dup_frac_x1000": 1000,
+    }
+    assert rows[2]["n_windows"] == 2 and rows[2]["dup_windows"] == 1
+    assert rows[2]["dup_frac_x1000"] == 500
+    assert rows[3]["dup_windows"] == 0
+    assert rows[4] == {
+        "doc_id": 4, "n_windows": 0, "dup_windows": 0, "dup_frac_x1000": 0,
+    }
+
+
+def test_doc_repetition_row_local_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 1, 2, 1, 2]), (2, [1, 2, 3, 4]), (3, [])],
+        "doc_id long, tokens array<int>",
+    )
+    out = doc_repetition(df, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # [1,2],[2,1],[1,2],[2,1],[1,2] -> 5 windows, 2 distinct
+    assert rows[1]["n_windows"] == 5 and rows[1]["dup_excess"] == 3
+    assert rows[1]["rep_frac_x1000"] == 600
+    assert rows[2]["dup_excess"] == 0
+    assert rows[3] == {
+        "doc_id": 3, "n_windows": 0, "dup_excess": 0, "rep_frac_x1000": 0,
+    }
+
+
+def test_dup_span_kernel_materialized_once(spark):
+    # the exploded (doc_id, h) positions feed two consumers; the
+    # operator must persist them so the tokenize+hash kernel is not
+    # re-executed per consumer (exchange reuse does not fire across a
+    # nondeterministic UDF — verified: without persist the plan holds
+    # two ArrowEvalPython subtrees with distinct expr ids)
+    df = spark.createDataFrame(
+        [(i, [i % 3, (i + 1) % 3, 2, 2, 2]) for i in range(20)],
+        "doc_id long, tokens array<int>",
+    )
+    # (order matters: once the materialized variant registers its
+    # cache, the CacheManager substitutes the cached subtree into ANY
+    # later matching plan, including the materialize=False one)
+    nomat = dup_span_stats(df, k=3, materialize=False)
+    assert "InMemoryTableScan" not in (
+        nomat._jdf.queryExecution().executedPlan().toString()
+    )
+    out = dup_span_stats(df, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+
+
+def exact_quantile_x1000(values, q_num):
+    vs = sorted(values)
+    t = q_num * (len(vs) - 1)
+    lo, rem = divmod(t, 1000)
+    v_hi = vs[lo + 1] if rem else vs[lo]
+    return 1000 * vs[lo] + rem * (v_hi - vs[lo])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hist_quantiles_matches_sorted_definition(spark, seed):
+    rng = np.random.default_rng(seed)
+    rows = [
+        ("a", int(v)) for v in rng.integers(10, 300, size=257)
+    ] + [("b", int(v)) for v in rng.integers(0, 5, size=64)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r["g"], r["q_num"]): r["q_x1000"]
+        for r in hist_quantiles(df, "v", ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        for qn in (500, 900, 990):
+            assert got[(g, qn)] == exact_quantile_x1000(vals, qn)
+            # and the integer formula IS quantile_cont (linear interp)
+            frac_q = Fraction(qn, 1000)
+            pos = frac_q * (len(vals) - 1)
+            svals = sorted(vals)
+            lo = int(pos)
+            interp = svals[lo] + (pos - lo) * (
+                svals[min(lo + 1, len(svals) - 1)] - svals[lo]
+            )
+            assert got[(g, qn)] == int(interp * 1000)
+
+
+def test_hist_quantiles_single_value_group(spark):
+    df = spark.createDataFrame([("a", 42)], "g string, v int")
+    out = hist_quantiles(df, "v", ["g"]).collect()
+    assert {r["q_x1000"] for r in out} == {42000}
+
+
+def test_window_hash_udf_marked_nondeterministic():
+    # the UDF must be nondeterministic so Catalyst never duplicates
+    # the kernel below an exchange (see functions/parse.py)
+    assert tokenstats.window_hash_udf(4).deterministic is False
