@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "dup_spans",
     "token_repetition",
     "token_len_quantiles",
+    "pack_chunks",
+    "chunk_spans",
+    "mix_sample",
+    "dedup_incremental",
 ]
 
 

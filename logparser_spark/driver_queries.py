@@ -20,7 +20,7 @@ from logparser_spark.functions.classify import category_expr
 from logparser_spark.functions.parse import with_parsed
 from logparser_spark.linegen import duckdb_parsed_cte, line_expr_duckdb, line_expr_spark
 from logparser_spark.operators import aggregates as agg
-from logparser_spark.operators import tokenstats
+from logparser_spark.operators import packing, tokenstats
 from logparser_spark.operators.util import spread
 from logparser_spark.operators.sessionize import sessionize_oracle_sql
 
@@ -404,6 +404,76 @@ def q_token_len_quantiles(spark, sf_dir):
     return tokenstats.hist_quantiles(df, "n_tok", ["source"])
 
 
+_SEQ_LEN = 2048  # packing context-window length (tokens)
+_CHUNK_LEN = 64  # sliding-chunk window length
+_CHUNK_OVERLAP = 16
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing stats (distributed prefix sum
+    over doc offsets; tokens never shuffle). Needs only doc LENGTHS, so
+    the plan is a pure length(line) projection — no tokenization."""
+    df = events(spark, sf_dir).select(
+        F.col("event_id").alias("doc_id"),
+        F.length(F.expr(line_expr_spark())).alias("n"),
+    )
+    return packing.pack_chunk_stats(df, seq_len=_SEQ_LEN, len_col="n")
+
+
+def q_chunk_spans(spark, sf_dir):
+    """Sliding-window chunking with overlap (HF overflow-token
+    semantics); tok_sum is the exact window token-id sum, reproduced by
+    the oracle from per-char code-point cumsums."""
+    return packing.chunk_sliding(
+        tokenized_events(spark, sf_dir),
+        max_len=_CHUNK_LEN,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _pack_chunks_oracle() -> str:
+    L = _SEQ_LEN
+    return (
+        _token_lines_cte()
+        + f""",
+d AS (SELECT doc_id, length(line) AS n FROM lines WHERE length(line) > 0),
+o AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s FROM d),
+sp AS (SELECT doc_id, n, s, s + n - 1 AS e FROM o),
+ex AS (SELECT doc_id, s, e, unnest(range(s // {L}, e // {L} + 1)) AS chunk_id FROM sp)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(e, (chunk_id + 1) * {L} - 1) - GREATEST(s, chunk_id * {L}) + 1) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ex GROUP BY chunk_id"""
+    )
+
+
+def _chunk_spans_oracle() -> str:
+    ml, st = _CHUNK_LEN, _CHUNK_LEN - _CHUNK_OVERLAP
+    return (
+        _token_lines_cte()
+        + f""",
+meta AS (SELECT doc_id, line, length(line) AS m FROM lines WHERE length(line) > 0),
+chars AS (
+  SELECT doc_id, i, unicode(substr(line, CAST(i AS INT), 1)) AS c
+  FROM (SELECT doc_id, line, unnest(range(1, m + 1)) AS i FROM meta)
+),
+cum AS (SELECT doc_id, i, SUM(c) OVER (PARTITION BY doc_id ORDER BY i) AS cs FROM chars),
+idx AS (
+  SELECT doc_id, m,
+         unnest(range(0, 1 + (GREATEST(m - {ml}, 0) + {st} - 1) // {st})) AS ci
+  FROM meta
+),
+ch AS (SELECT doc_id, ci, ci * {st} AS off, LEAST({ml}, m - ci * {st}) AS len FROM idx)
+SELECT c.doc_id, CAST(c.ci AS BIGINT) AS chunk_idx, CAST(c.off AS BIGINT) AS off,
+       CAST(c.len AS BIGINT) AS n_tokens,
+       CAST(hi.cs - COALESCE(lo.cs, 0) AS BIGINT) AS tok_sum
+FROM ch c
+JOIN cum hi ON hi.doc_id = c.doc_id AND hi.i = c.off + c.len
+LEFT JOIN cum lo ON lo.doc_id = c.doc_id AND lo.i = c.off"""
+    )
+
+
 def _token_lines_cte() -> str:
     return f"""
 WITH lines AS (
@@ -623,6 +693,8 @@ SELECT username, event_id, epoch_us FROM (
     "dup_spans": _dup_spans_oracle(),
     "token_repetition": _token_repetition_oracle(),
     "token_len_quantiles": _token_len_quantiles_oracle(),
+    "pack_chunks": _pack_chunks_oracle(),
+    "chunk_spans": _chunk_spans_oracle(),
 }
 
 PIPELINE_QUERIES = {
@@ -647,4 +719,6 @@ PIPELINE_QUERIES = {
     "dup_spans": q_dup_spans,
     "token_repetition": q_token_repetition,
     "token_len_quantiles": q_token_len_quantiles,
+    "pack_chunks": q_pack_chunks,
+    "chunk_spans": q_chunk_spans,
 }

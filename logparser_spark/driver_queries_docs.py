@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from logparser_spark.driver_queries import documents, embeddings
-from logparser_spark.operators import dedup, multimodal, similarity, textstats
+from logparser_spark.operators import dedup, multimodal, sampling, similarity, textstats
 
 # ---------------------------------------------------------------------
 # Spark builders
@@ -155,7 +155,59 @@ def q_frame_sample(spark, sf_dir):
     ).select("doc_id", "frame_idx")
 
 
+# per-lang mixing rates for the mix_sample query (deterministic
+# hash-threshold sampling; see operators/sampling.py)
+_MIX_RATES = {"en": 0.5, "zh": 1.0, "de": 0.0}
+_MIX_DEFAULT = 0.25
+
+# corpus/new split for incremental dedup: ~80% of docs (by id hash)
+# form the reference corpus, the rest are the incoming batch
+_CORPUS_THR = "cccc"
+
+
+def q_mix_sample(spark, sf_dir):
+    """Language-mix resampling: keep each doc with a per-lang rate via
+    a content-hash threshold — deterministic, shuffle-free, stable
+    under repartitioning/retries (unlike df.sample)."""
+    return sampling.hash_mix_sample(
+        documents(spark, sf_dir).select("doc_id", "lang", "source"),
+        _MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Exact dedup of an incoming batch against an existing corpus:
+    anti-join on md5(text) signatures (runtime Bloom-filter pruned;
+    at scale the corpus signature table is bucketed by hash so the
+    daily delta joins with zero corpus-side shuffle)."""
+    docs = documents(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    corpus = docs.where(bucket < _CORPUS_THR)
+    new = docs.where(~(bucket < _CORPUS_THR))
+    return sampling.dedup_incremental(new, corpus).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _mix_sample_oracle() -> str:
+    where = sampling.mix_sample_oracle_where(_MIX_RATES, default_rate=_MIX_DEFAULT)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {where}"
+
+
+def _dedup_incremental_oracle() -> str:
+    # text equality == md5 equality absent collisions; a collision
+    # would surface as a row-set mismatch here
+    return f"""
+WITH b AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents)
+SELECT n.doc_id, n.lang, n.source
+FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
+  AND NOT EXISTS (SELECT 1 FROM b c WHERE c.h < '{_CORPUS_THR}' AND c.text = n.text)"""
+
+
 DOC_QUERIES = {
+    "mix_sample": q_mix_sample,
+    "dedup_incremental": q_dedup_incremental,
     "stream_dedup": q_stream_dedup,
     "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
@@ -231,6 +283,8 @@ WITH m AS (
 """
 
 DOC_ORACLES: dict[str, str] = {
+    "mix_sample": _mix_sample_oracle(),
+    "dedup_incremental": _dedup_incremental_oracle(),
     "embed_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 x AS (

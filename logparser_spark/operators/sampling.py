@@ -1,0 +1,111 @@
+"""Deterministic hash-based sampling / corpus mixing and incremental
+dedup-against-corpus — the remaining training-data-pipeline primitives:
+
+* ``hash_mix_sample`` — per-group sampling rates ("data mixing": keep
+  20% of lang=en, 100% of lang=zh, ...) decided by a content-derived
+  hash, so the sample is deterministic, reproducible across runs and
+  engines, and needs NO shuffle, no RNG state, and no count pre-pass.
+* ``dedup_incremental`` — drop new-batch rows whose content already
+  exists in a reference corpus (the incremental form of exact dedup:
+  yesterday's crawl is already deduped, only today's delta is checked).
+
+Reference parity: the reference has neither (it reloads whole files;
+closest is the freshness guard, LogFileParser.java:975-1047); these are
+§2-extension ops required by the brief.
+
+Engine-portability: the sampling hash is the first 4 hex chars of
+md5(doc_id-as-string) compared LEXICOGRAPHICALLY against a per-group
+threshold string — identical semantics in Spark and DuckDB, so the
+oracle reproduces the exact row set (rate granularity 1/65536).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**4
+
+
+def rate_to_hex_threshold(rate: float) -> str | None:
+    """Sampling rate -> 4-hex-digit exclusive upper bound, or None for
+    keep-everything (rate >= 1)."""
+    if rate < 0 or rate > 1:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    t = int(rate * _HEX_SPACE)
+    return None if t >= _HEX_SPACE else format(t, "04x")
+
+
+def hash_mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff substr(md5(id), 1, 4) < threshold(group).
+
+    A pure narrow filter: Catalyst keeps it in the scan stage, it
+    composes with column pruning, and at 10^12 rows it costs one md5
+    per row and moves nothing. Unlike df.sample(), the decision is a
+    function of the ROW (not of partition+seed), so the sample is
+    stable under repartitioning, retries, and speculative execution —
+    the property that makes mixing reproducible at cluster scale.
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    pred = None
+    grp = F.col(group_col)
+    for g, rate in sorted(rates.items()):
+        thr = rate_to_hex_threshold(rate)
+        keep_g = grp.eqNullSafe(g) if thr is None else (grp.eqNullSafe(g) & (h < thr))
+        pred = keep_g if pred is None else (pred | keep_g)
+    dthr = rate_to_hex_threshold(default_rate)
+    others = ~grp.isin(*rates.keys()) | grp.isNull() if rates else F.lit(True)
+    keep_other = others if dthr is None else (others & (h < dthr))
+    pred = keep_other if pred is None else (pred | keep_other)
+    return df.where(pred)
+
+
+def mix_sample_oracle_where(
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    """The WHERE body reproducing hash_mix_sample in DuckDB SQL."""
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 4)"
+    parts = []
+    for g, rate in sorted(rates.items()):
+        thr = rate_to_hex_threshold(rate)
+        cond = f"{group_col} = '{g}'"
+        parts.append(cond if thr is None else f"({cond} AND {h} < '{thr}')")
+    dthr = rate_to_hex_threshold(default_rate)
+    others = f"({group_col} IS NULL OR {group_col} NOT IN ({', '.join(repr(g) for g in sorted(rates))}))"
+    parts.append(others if dthr is None else f"({others} AND {h} < '{dthr}')")
+    return " OR ".join(parts)
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of new_df whose content hash does not appear in corpus_df.
+
+    Plan: project both sides to md5(text) and LEFT ANTI hash-join the
+    new batch against the corpus signatures. Scale posture: the corpus
+    is the big side, the delta is small, so the shuffle moves mostly
+    16-byte signatures; Spark's runtime Bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in
+    build_session) prunes corpus partitions that cannot match the
+    delta before the exchange. For a standing daily pipeline, keep the
+    corpus signatures as a table BUCKETED by the hash so each
+    incremental batch joins with zero corpus-side shuffle.
+    """
+    sig = F.md5(F.col(text_col)).alias("__sig")
+    corpus_sigs = corpus_df.select(sig).distinct()
+    return (
+        new_df.withColumn("__sig", F.md5(F.col(text_col)))
+        .join(corpus_sigs, "__sig", "left_anti")
+        .drop("__sig")
+    )

@@ -46,6 +46,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime Bloom-filtered joins (default-on in Spark 4; pinned
+        # explicitly): prunes the big probe side of the incremental
+        # dedup anti-join before its exchange.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # A dying Python worker must surface its traceback, not an
