@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "chunk_spans",
     "mix_sample",
     "dedup_incremental",
+    "curation",
 ]
 
 

@@ -190,6 +190,31 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_curation(spark, sf_dir):
+    """The composed curation funnel: quality gate -> exact dedup
+    keeper -> deterministic lang mixing -> per-(lang, source) stats.
+    One data-sized shuffle end to end (the dedup groupBy)."""
+    return sampling.curation_funnel(
+        documents(spark, sf_dir), _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+
+
+def _curation_oracle() -> str:
+    where = sampling.mix_sample_oracle_where(_MIX_RATES, default_rate=_MIX_DEFAULT)
+    return f"""
+WITH g AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+    AND floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) >= 50
+),
+k AS (SELECT md5(text) AS sig, MIN(doc_id) AS kid FROM g GROUP BY 1),
+kd AS (SELECT g.* FROM g JOIN k ON g.doc_id = k.kid),
+m AS (SELECT * FROM kd WHERE {where})
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM m GROUP BY lang, source"""
+
+
 def _mix_sample_oracle() -> str:
     where = sampling.mix_sample_oracle_where(_MIX_RATES, default_rate=_MIX_DEFAULT)
     return f"SELECT doc_id, lang, source FROM documents WHERE {where}"
@@ -208,6 +233,7 @@ FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
 DOC_QUERIES = {
     "mix_sample": q_mix_sample,
     "dedup_incremental": q_dedup_incremental,
+    "curation": q_curation,
     "stream_dedup": q_stream_dedup,
     "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
@@ -285,6 +311,7 @@ WITH m AS (
 DOC_ORACLES: dict[str, str] = {
     "mix_sample": _mix_sample_oracle(),
     "dedup_incremental": _dedup_incremental_oracle(),
+    "curation": _curation_oracle(),
     "embed_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 x AS (

@@ -85,6 +85,48 @@ def mix_sample_oracle_where(
     return " OR ".join(parts)
 
 
+def curation_funnel(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """The end-to-end curation pass over a documents table (doc_id,
+    text, lang, source, n_chars), composed from the primitive ops:
+    quality gate -> exact dedup (keeper = min doc_id per content hash)
+    -> deterministic per-lang mixing -> per-(lang, source) corpus
+    stats.
+
+    Shuffle budget at any scale: ONE data-sized shuffle (the dedup
+    groupBy on md5(text), the keeper row carried as min(struct) so
+    there is no join-back) plus a tiny aggregate on the (lang, source)
+    domain; the gate and the mix are narrow filters fused into the
+    stages around them. Plan note: min over a struct (or string) has
+    no primitive-mutable buffer, so Spark compiles this groupBy to
+    SortAggregate rather than HashAggregate — measured and accepted:
+    the partial sort-agg still combines map-side (the exchange carries
+    one row per distinct hash per partition), and the alternative
+    (hash-agg min(doc_id), then join rows back by keeper id) costs a
+    SECOND data-sized shuffle, which loses at corpus scale where
+    shuffle IO, not local sort CPU, is the bottleneck.
+    """
+    from logparser_spark.operators.textstats import quality_gate_expr
+
+    gated = docs.where(quality_gate_expr("text"))
+    keeper = F.min(
+        F.struct("doc_id", "lang", "source", "n_chars")
+    ).alias("k")
+    kept = (
+        gated.groupBy(F.md5(F.col("text")).alias("__sig"))
+        .agg(keeper)
+        .select("k.*")
+    )
+    mixed = hash_mix_sample(kept, rates, default_rate=default_rate)
+    return mixed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -50,6 +50,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred).withColumn("best_score", best)
 
 
+def quality_gate_expr(text_col: str = "text"):
+    """The boolean quality gate alone (word count in [10, 1000] and
+    alpha ratio >= 50%) as a Column, for composition into filters
+    (curation funnel) without materializing the feature projection."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (F.floor(F.lit(100.0) * alpha_chars / n_chars) >= 50)
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/word/stopword/punct features + a boolean quality gate.
 
@@ -70,11 +85,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.floor(F.lit(100.0) * alpha_chars / n_chars).cast("long").alias("alpha_ratio_x100"),
         F.floor(F.lit(100.0) * punct_chars / n_chars).cast("long").alias("punct_ratio_x100"),
         F.floor(F.lit(100.0) * en_stop / n_words).cast("long").alias("stopword_ratio_x100"),
-        (
-            (n_words >= 10)
-            & (n_words <= 1000)
-            & (F.floor(F.lit(100.0) * alpha_chars / n_chars) >= 50)
-        ).alias("is_high_quality"),
+        quality_gate_expr(text_col).alias("is_high_quality"),
     )
 
 

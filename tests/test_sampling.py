@@ -87,3 +87,33 @@ def test_dedup_incremental(spark):
     # (incremental dedup filters against the CORPUS only); NULL text has
     # NULL signature -> never matches -> kept
     assert got == [11, 12, 13]
+
+
+def test_curation_funnel_model(spark):
+    from logparser_spark.operators.sampling import curation_funnel
+
+    rows = [
+        # (doc_id, text, lang, source, n_chars)
+        (1, "w " * 9 + "tail", "en", "s1", 22),     # 10 words, alpha 45% -> gate fail
+        (2, " ".join(["alpha"] * 12), "en", "s1", 71),
+        (3, " ".join(["alpha"] * 12), "en", "s2", 71),   # dup of 2 -> dropped
+        (4, " ".join(["beta"] * 12), "zh", "s1", 59),
+        (5, "short", "zh", "s1", 5),                      # gate fail
+        (6, " ".join(["gamma"] * 12), "de", "s1", 71),    # lang rate 0 -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["chars_total"])
+        for r in curation_funnel(df, RATES, default_rate=1.0).collect()
+    }
+    # doc 2 survives iff its md5 hash-mix keeps it (en rate 0.5)
+    exp = {}
+    for doc_id, lang, source, n_chars in [(2, "en", "s1", 71), (4, "zh", "s1", 59)]:
+        if py_keep(doc_id, lang, RATES, 1.0):
+            nd, ct = exp.get((lang, source), (0, 0))
+            exp[(lang, source)] = (nd + 1, ct + n_chars)
+    # doc 1: 10 words, alpha 10/22*100 = 45 < 50 -> gate fail, never present
+    assert got == exp
+    assert ("de", "s1") not in got
