@@ -431,6 +431,90 @@ def q_chunk_spans(spark, sf_dir):
     )
 
 
+_DECON_K = 20  # decontamination window length (tokens)
+
+
+def _bench_filter(df: DataFrame) -> DataFrame:
+    """The 'held-out benchmark' stand-in: every 97th sequence. Small by
+    construction (~1%), like a real eval suite vs a training corpus."""
+    return df.where(F.col("doc_id") % 97 == 0)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination stats: per training sequence, how many
+    of its k-token windows occur in the benchmark window set (broadcast
+    semi probe — the corpus side never shuffles its tokens)."""
+    toks = tokenized_events(spark, sf_dir)
+    return tokenstats.decontaminate_stats(toks, _bench_filter(toks), k=_DECON_K)
+
+
+def q_token_histogram(spark, sf_dir):
+    """Exact corpus unigram table (token, occurrences, docs) via the
+    per-batch np.unique fold — shuffle bounded by |vocab|, not corpus
+    size."""
+    return tokenstats.token_histogram(tokenized_events(spark, sf_dir))
+
+
+def q_redact(spark, sf_dir):
+    """PII-style span redaction over the raw log line: per-pattern match
+    counts plus md5 of the masked text. Pure narrow map — fuses into the
+    scan, nothing shuffles."""
+    from logparser_spark.operators import textstats
+
+    df = events(spark, sf_dir).select(
+        F.col("event_id").alias("doc_id"),
+        F.expr(line_expr_spark()).alias("text"),
+    )
+    return textstats.redact_pii(df)
+
+
+def _decontaminate_oracle() -> str:
+    t = 1  # threshold_x1000 default
+    return (
+        _token_wins_cte(_DECON_K)
+        + f""",
+bset AS (SELECT DISTINCT w FROM wins WHERE doc_id % 97 = 0),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN b.w IS NOT NULL THEN 1 ELSE 0 END) AS hit_windows
+  FROM wins LEFT JOIN bset b USING (w)
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.hit_windows, 0) AS BIGINT) AS hit_windows,
+       CAST(COALESCE(1000 * p.hit_windows // p.n_windows, 0) AS BIGINT) AS hit_frac_x1000,
+       (COALESCE(p.n_windows, 0) > 0
+        AND COALESCE(1000 * p.hit_windows // p.n_windows, 0) >= {t}) AS contaminated
+FROM lines l LEFT JOIN per p USING (doc_id)"""
+    )
+
+
+def _token_histogram_oracle() -> str:
+    return (
+        _token_lines_cte()
+        + """,
+chars AS (
+  SELECT doc_id, unicode(substr(line, CAST(i AS INT), 1)) AS c
+  FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i FROM lines)
+)
+SELECT CAST(c AS INT) AS token,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+FROM chars GROUP BY 1"""
+    )
+
+
+def _redact_oracle() -> str:
+    from logparser_spark.operators.textstats import redact_pii_oracle_select
+
+    return (
+        _token_lines_cte()
+        + f"""
+SELECT doc_id, {redact_pii_oracle_select("line")} FROM lines"""
+    )
+
+
 def _pack_chunks_oracle() -> str:
     L = _SEQ_LEN
     return (
@@ -695,6 +779,9 @@ SELECT username, event_id, epoch_us FROM (
     "token_len_quantiles": _token_len_quantiles_oracle(),
     "pack_chunks": _pack_chunks_oracle(),
     "chunk_spans": _chunk_spans_oracle(),
+    "decontaminate": _decontaminate_oracle(),
+    "token_histogram": _token_histogram_oracle(),
+    "redact": _redact_oracle(),
 }
 
 PIPELINE_QUERIES = {
@@ -721,4 +808,7 @@ PIPELINE_QUERIES = {
     "token_len_quantiles": q_token_len_quantiles,
     "pack_chunks": q_pack_chunks,
     "chunk_spans": q_chunk_spans,
+    "decontaminate": q_decontaminate,
+    "token_histogram": q_token_histogram,
+    "redact": q_redact,
 }

@@ -215,6 +215,32 @@ SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM m GROUP BY lang, source"""
 
 
+_STRAT_QUOTA = 40  # exact per-source row budget for stratified_take
+
+
+def q_stratified(spark, sf_dir):
+    """Exact per-group row budget via content-hash order (skew-safe
+    salted two-phase rank; final row set independent of the salt)."""
+    return sampling.stratified_take(
+        documents(spark, sf_dir).select("doc_id", "lang", "source"),
+        quota=_STRAT_QUOTA,
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
+def _stratified_oracle() -> str:
+    return f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_QUOTA}"""
+
+
 def _mix_sample_oracle() -> str:
     where = sampling.mix_sample_oracle_where(_MIX_RATES, default_rate=_MIX_DEFAULT)
     return f"SELECT doc_id, lang, source FROM documents WHERE {where}"
@@ -231,6 +257,7 @@ FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
 
 
 DOC_QUERIES = {
+    "stratified_sample": q_stratified,
     "mix_sample": q_mix_sample,
     "dedup_incremental": q_dedup_incremental,
     "curation": q_curation,
@@ -309,6 +336,7 @@ WITH m AS (
 """
 
 DOC_ORACLES: dict[str, str] = {
+    "stratified_sample": _stratified_oracle(),
     "mix_sample": _mix_sample_oracle(),
     "dedup_incremental": _dedup_incremental_oracle(),
     "curation": _curation_oracle(),

@@ -127,6 +127,50 @@ def curation_funnel(
     )
 
 
+def stratified_take(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salts: int = 32,
+) -> DataFrame:
+    """EXACTLY min(quota, |group|) rows per group, chosen
+    deterministically: the quota rows with the smallest
+    (md5(id), id) — a content-derived order, so the sample is
+    reproducible across runs, engines, partitionings, and retries
+    (the per-group analog of hash_mix_sample's rate filter, for when
+    the spec is an exact row budget rather than a rate).
+
+    Scale plan (skew-safe two-phase, same shape as the salted top-K in
+    aggregates.top_urls): a single window over (group) would funnel
+    each group — and groups are FEW and HUGE in a corpus — through one
+    reducer. Instead phase 1 ranks within (group, salt) where salt =
+    xxhash64(id) mod S, keeping the quota smallest per salt-cell (each
+    reducer sees ~1/S of a group); phase 2 re-ranks the survivors
+    (<= S*quota rows per group — bounded regardless of corpus size) to
+    the exact global quota. The salt is internal only — the final row
+    set depends on nothing but (md5(id), id).
+    """
+    h = F.md5(F.col(id_col).cast("string")).alias("__h")
+    base = df.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salts))
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(group_col, "__salt").orderBy("__h", id_col)
+    pruned = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn", "__h")
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -124,6 +124,61 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
     ).orderBy("doc_id")
 
 
+# PII-style redaction patterns — valid with identical semantics in both
+# Java regex (Spark) and RE2 (DuckDB): ASCII classes only, no
+# backrefs/lookaround, greedy quantifiers on unambiguous shapes.
+REDACT_PATTERNS: list[tuple[str, str, str]] = [
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<ip>"),
+    ("longnum", r"\d{9,}", "<num>"),
+    ("userid", r"\b(?:user|svc_acct_)\d+", "<user>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect-and-mask identifier-like spans (IPv4s, long digit runs
+    such as epochs/card-like numbers, user-id handles) in free text —
+    the scrubbing pass a training-data pipeline runs before publishing
+    a corpus.
+
+    Output: (doc_id, n_<kind> per pattern, redacted_sig) where counts
+    are matched spans in the ORIGINAL text (patterns are mutually
+    non-overlapping by construction: IP octets are <=3 digits, so the
+    9+-digit-run pattern never intersects an IPv4 match, and the
+    replacement tokens contain no digits) and redacted_sig is
+    md5(text after applying the replacements in REDACT_PATTERNS order).
+
+    Scale posture: pure narrow map — regexp_count/regexp_replace are
+    JVM codegen expressions, the stage fuses into the scan, and NOTHING
+    shuffles at any scale (plan-asserted in tests). Reference parity:
+    the reference masks nothing; this is a §2-extension op. Patterns
+    are restricted to the dialect intersection so the DuckDB oracle
+    reproduces byte-identical redacted text.
+    """
+    t = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pat, _ in REDACT_PATTERNS:
+        cols.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}"))
+    red = t
+    for _, pat, rep in REDACT_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    cols.append(F.md5(red).alias("redacted_sig"))
+    return df.select(*cols)
+
+
+def redact_pii_oracle_select(text_sql: str) -> str:
+    """The DuckDB SELECT-list twin of redact_pii over a text expression."""
+    parts = []
+    for name, pat, _ in REDACT_PATTERNS:
+        parts.append(
+            f"CAST(length(regexp_extract_all({text_sql}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+    red = text_sql
+    for _, pat, rep in REDACT_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    parts.append(f"md5({red}) AS redacted_sig")
+    return ", ".join(parts)
+
+
 def ngram_vocab(
     docs: DataFrame, n: int = 3, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -200,6 +200,131 @@ def doc_repetition(
     )
 
 
+def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Exact corpus unigram stats: (token, occurrences, docs) where
+    occurrences counts every position and docs counts distinct
+    sequences containing the token — the vocabulary-coverage /
+    token-frequency table used for mixture weighting and tokenizer
+    audits.
+
+    Scale plan: a mapInPandas kernel folds each Arrow batch into a
+    per-batch histogram with ONE vectorized np.unique pass (both counts
+    from the same sort: occurrences over the flattened positions, docs
+    over the per-row distinct sets), so the shuffle carries at most
+    |vocab| rows per task — bounded by the token DOMAIN (<= 256k for
+    real BPE vocabularies), never the corpus size. The alternative
+    explode -> groupBy has the same shuffle bound (partial hash agg)
+    but materializes one row PER TOKEN POSITION into the aggregate,
+    row-at-a-time; the kernel does the equivalent combine at numpy
+    speed. The docs count needs no COUNT(DISTINCT) rewrite (no Expand
+    doubling) because per-row distinctness is resolved locally.
+    """
+
+    def fold(batches):
+        for pdf in batches:
+            arrs = [
+                np.asarray(x, dtype=np.int64)
+                for x in pdf[tokens_col]
+                if x is not None and len(x)
+            ]
+            if not arrs:
+                continue
+            tok, occ = np.unique(np.concatenate(arrs), return_counts=True)
+            tok_d, dcs = np.unique(
+                np.concatenate([np.unique(a) for a in arrs]), return_counts=True
+            )
+            docs = np.zeros(len(tok), dtype=np.int64)
+            docs[np.searchsorted(tok, tok_d)] = dcs
+            yield pd.DataFrame(
+                {"token": tok.astype(np.int32), "occurrences": occ, "docs": docs}
+            )
+
+    partials = df.select(tokens_col).mapInPandas(
+        fold, "token int, occurrences long, docs long"
+    )
+    return partials.groupBy("token").agg(
+        F.sum("occurrences").alias("occurrences"), F.sum("docs").alias("docs")
+    )
+
+
+def decontaminate_stats(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_x1000: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): per training
+    document, how many of its k-token windows also occur anywhere in a
+    held-out benchmark set, and a contamination flag at
+    hit_frac >= threshold_x1000/1000 (default: any overlap).
+
+    Output: (doc_id, n_windows, hit_windows, hit_frac_x1000,
+    contaminated). ``decontaminate`` below is the filtering form.
+
+    Scale plan: both sides hash windows with the shared rolling-hash
+    kernel (pure map). The benchmark window set is SMALL by nature
+    (eval suites, not corpora) -> distinct hashes then a BROADCAST
+    left-semi probe against the exploded training windows, so the
+    data-sized side never shuffles: explode is narrow, the semi join is
+    map-side, and the only exchanges are the per-doc count groupBy
+    (16-byte rows) and the tiny benchmark distinct.
+    """
+    bench_h = (
+        with_window_hashes(bench.select(tokens_col), k)
+        .select(F.explode("win_hashes").alias("h"))
+        .distinct()
+    )
+    pos = with_window_hashes(
+        train.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    ).select("doc_id", F.explode_outer("win_hashes").alias("h"))
+    hit = F.broadcast(bench_h.withColumn("is_hit", F.lit(True)))
+    out = (
+        pos.join(hit, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").alias("n_windows"),
+            F.count(F.when(F.col("is_hit"), F.lit(1))).alias("hit_windows"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "hit_windows",
+        F.expr(
+            "CASE WHEN n_windows = 0 THEN 0L"
+            " ELSE (1000 * hit_windows) div n_windows END"
+        ).alias("hit_frac_x1000"),
+    ).withColumn(
+        "contaminated",
+        (F.col("n_windows") > 0)
+        & (F.col("hit_frac_x1000") >= F.lit(threshold_x1000)),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_x1000: int = 1,
+) -> DataFrame:
+    """Training rows with no (or below-threshold) benchmark window
+    overlap — the filtering form of ``decontaminate_stats``. The flag
+    side collapses to contaminated doc_ids only, so the final anti join
+    broadcasts when the contaminated set is small (the common case)."""
+    bad = (
+        decontaminate_stats(
+            train, bench, k, id_col, tokens_col, threshold_x1000
+        )
+        .where("contaminated")
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,

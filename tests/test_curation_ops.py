@@ -1,0 +1,200 @@
+"""Round-3 curation operators: stratified exact-quota sampling,
+PII-style redaction, exact token histogram, benchmark decontamination."""
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators.sampling import stratified_take
+from logparser_spark.operators.textstats import (
+    REDACT_PATTERNS,
+    redact_pii,
+    redact_pii_oracle_select,
+)
+from logparser_spark.operators.tokenstats import (
+    decontaminate,
+    decontaminate_stats,
+    token_histogram,
+)
+
+# ---------------------------------------------------------------- strat
+
+
+def _strat_rows():
+    # three groups with very different sizes: a (200), b (30), c (1)
+    rows = [(i, "a") for i in range(200)]
+    rows += [(1000 + i, "b") for i in range(30)]
+    rows += [(9999, "c")]
+    return rows
+
+
+def _py_take(rows, quota):
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    keep = []
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        keep += [(i, g) for i in ids[:quota]]
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("quota", [1, 40])
+def test_stratified_take_matches_python_model(spark, quota):
+    df = spark.createDataFrame(_strat_rows(), "doc_id long, source string")
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in stratified_take(df, quota=quota).collect()
+    )
+    assert got == _py_take(_strat_rows(), quota)
+    # undersized groups are kept whole
+    ng = {g: 0 for g in "abc"}
+    for _, g in got:
+        ng[g] += 1
+    assert ng["a"] == quota and ng["b"] == min(30, quota) and ng["c"] == 1
+
+
+def test_stratified_take_salt_invariant(spark):
+    # the salt is internal: any salts value and any partitioning give
+    # the SAME row set (content-derived order only)
+    df = spark.createDataFrame(_strat_rows(), "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in stratified_take(df, 25, salts=2).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_take(df.repartition(17), 25, salts=64).collect()
+    )
+    assert a == b and len(a) == 25 + 25 + 1
+
+
+# --------------------------------------------------------------- redact
+
+_RED_DOCS = [
+    (1, "login from 10.22.0.144 by user42 at 1700000001234"),
+    (2, "svc_acct_7 touched 192.168.1.1 and 8.8.8.8"),
+    (3, "no identifiers here"),
+    (4, "card 1234567890123456 ip 1.2.3.4 users user1 user2"),
+]
+
+
+def _py_redact(text):
+    import re
+
+    counts = [len(re.findall(p, text)) for _, p, _ in REDACT_PATTERNS]
+    red = text
+    for _, p, rep in REDACT_PATTERNS:
+        red = re.sub(p, rep, red)
+    return counts, hashlib.md5(red.encode()).hexdigest()
+
+
+def test_redact_pii_counts_and_sig(spark):
+    df = spark.createDataFrame(_RED_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for doc_id, text in _RED_DOCS:
+        (n_ip, n_num, n_user), sig = _py_redact(text)
+        r = out[doc_id]
+        assert (r["n_ipv4"], r["n_longnum"], r["n_userid"]) == (
+            n_ip,
+            n_num,
+            n_user,
+        ), text
+        assert r["redacted_sig"] == sig, text
+    # the crafted rows exercise every pattern at least once
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_longnum"] == 1
+    assert out[1]["n_userid"] == 1 and out[2]["n_userid"] == 1
+    assert out[4]["n_longnum"] == 1 and out[4]["n_userid"] == 2
+
+
+def test_redact_pii_no_shuffle(spark):
+    df = spark.createDataFrame(_RED_DOCS, "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_redact_oracle_select_matches_spark(spark):
+    df = spark.createDataFrame(_RED_DOCS, "doc_id long, text string")
+    got = sorted(map(tuple, redact_pii(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _RED_DOCS)
+    exp = sorted(
+        con.execute(
+            f"SELECT doc_id, {redact_pii_oracle_select('text')} FROM d"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_token_histogram_matches_explode_groupby(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.randrange(50) for _ in range(rng.randrange(0, 60))])
+        for i in range(300)
+    ]
+    rows += [(300, None), (301, [])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = sorted(map(tuple, token_histogram(df).collect()))
+    base = (
+        df.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+    )
+    exp = sorted(map(tuple, base.collect()))
+    assert got == exp and len(got) > 0
+
+
+# -------------------------------------------------------------- decon
+
+
+def test_decontaminate_stats_tiny(spark):
+    train = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4]),  # windows {123,234}; 234 in bench -> 1/2
+            (2, [9, 9, 9]),  # window {999}, not in bench
+            (3, [2, 3, 4]),  # exactly the bench window -> 1/1
+            (4, [5]),  # too short: 0 windows
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2, 3, 4, 7, 7, 7])], "doc_id long, tokens array<int>"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate_stats(train, bench, k=3).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_windows": 2, "hit_windows": 1,
+        "hit_frac_x1000": 500, "contaminated": True,
+    }
+    assert out[2]["hit_windows"] == 0 and not out[2]["contaminated"]
+    assert out[3]["hit_frac_x1000"] == 1000 and out[3]["contaminated"]
+    assert out[4] == {
+        "doc_id": 4, "n_windows": 0, "hit_windows": 0,
+        "hit_frac_x1000": 0, "contaminated": False,
+    }
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, bench, k=3).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_decontaminate_self_overlap(spark):
+    # bench drawn FROM the train set: every benched doc is contaminated
+    train = spark.createDataFrame(
+        [(i, [i, i + 1, i + 2, i + 3, i + 4]) for i in range(0, 100, 5)],
+        "doc_id long, tokens array<int>",
+    )
+    bench = train.where(F.col("doc_id") % 4 == 0)
+    out = decontaminate_stats(train, bench, k=5)
+    flagged = sorted(r["doc_id"] for r in out.where("contaminated").collect())
+    assert flagged == [i for i in range(0, 100, 5) if i % 4 == 0]
