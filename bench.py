@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "mix_sample",
     "dedup_incremental",
     "curation",
+    "stratified_sample",
+    "redact",
+    "token_histogram",
+    "decontaminate",
 ]
 
 
@@ -98,9 +102,9 @@ _T0 = time.monotonic()  # process start — the budget clock
 BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
 
 # Local steady-state cost of the headline block at local[32]/sf0.1
-# (measured ~85 s). elapsed/expected = the harness contention factor
-# used to scale the pipeline-block estimate.
-_HEADLINE_EXPECTED_SEC = 90.0
+# (measured ~85 s at 38 queries, ~95 s at 42). elapsed/expected = the
+# harness contention factor used to scale the pipeline-block estimate.
+_HEADLINE_EXPECTED_SEC = 95.0
 # Local costs of the pipeline block pieces (measured): 10M-row fixture
 # generation ~110 s (fixtures_cache/ is gitignored, so the driver
 # always regenerates), warmup pass ~35 s, timed trial ~30 s.
