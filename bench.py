@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "redact",
     "token_histogram",
+    "rarity",
     "decontaminate",
 ]
 

@@ -455,6 +455,13 @@ def q_token_histogram(spark, sf_dir):
     return tokenstats.token_histogram(tokenized_events(spark, sf_dir))
 
 
+def q_rarity(spark, sf_dir):
+    """Rare-token density per sequence: global unigram histogram
+    (|vocab|-bounded shuffle) broadcast back into a pure-map scoring
+    pass — the two-pass corpus-stats quality gate."""
+    return tokenstats.rarity_score(tokenized_events(spark, sf_dir))
+
+
 def q_redact(spark, sf_dir):
     """PII-style span redaction over the raw log line: per-pattern match
     counts plus md5 of the masked text. Pure narrow map — fuses into the
@@ -502,6 +509,29 @@ SELECT CAST(c AS INT) AS token,
        CAST(COUNT(*) AS BIGINT) AS occurrences,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
 FROM chars GROUP BY 1"""
+    )
+
+
+def _rarity_oracle() -> str:
+    return (
+        _token_lines_cte()
+        + """,
+chars AS (
+  SELECT doc_id, unicode(substr(line, CAST(i AS INT), 1)) AS c
+  FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i FROM lines)
+),
+occ AS (SELECT c, COUNT(*) AS occ FROM chars GROUP BY c),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+         SUM(1000000 // occ) AS rarity_sum,
+         SUM(CASE WHEN occ < 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM chars JOIN occ USING (c) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(p.rarity_sum, 0) AS BIGINT) AS rarity_sum,
+       CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare
+FROM lines l LEFT JOIN per p USING (doc_id)"""
     )
 
 
@@ -781,6 +811,7 @@ SELECT username, event_id, epoch_us FROM (
     "chunk_spans": _chunk_spans_oracle(),
     "decontaminate": _decontaminate_oracle(),
     "token_histogram": _token_histogram_oracle(),
+    "rarity": _rarity_oracle(),
     "redact": _redact_oracle(),
 }
 
@@ -810,5 +841,6 @@ PIPELINE_QUERIES = {
     "chunk_spans": q_chunk_spans,
     "decontaminate": q_decontaminate,
     "token_histogram": q_token_histogram,
+    "rarity": q_rarity,
     "redact": q_redact,
 }

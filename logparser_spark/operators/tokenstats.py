@@ -247,6 +247,83 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
+def rarity_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    scale: int = 1_000_000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-sequence rare-token density — the corpus-statistics quality
+    gate: score each document against GLOBAL unigram frequencies
+    (rare/misspelled/garbage tokens score high, boilerplate scores low).
+
+    Output: (doc_id, n_tok, rarity_sum, n_rare) where each position
+    contributes ``scale // occ(token)`` to rarity_sum (integer-exact —
+    no cross-engine float drift) and n_rare counts positions whose
+    token occurs fewer than ``min_count`` times corpus-wide.
+
+    Scale plan (the canonical two-pass corpus-stats pattern): pass 1 is
+    ``token_histogram`` (shuffle bounded by |vocab|, never corpus
+    size); the histogram — domain-bounded, <= 256k rows for real BPE
+    vocabularies — is collected and broadcast like any dimension table;
+    pass 2 scores every sequence in a PURE MAP stage (np.searchsorted
+    lookup + np.add.reduceat per Arrow batch). Nothing data-sized ever
+    shuffles — unlike the explode -> broadcast-join -> per-doc groupBy
+    formulation, whose final groupBy shuffles one row per token
+    POSITION.
+    """
+    hist = token_histogram(df, tokens_col).toPandas()
+    order = np.argsort(hist["token"].to_numpy())
+    vocab = hist["token"].to_numpy()[order].astype(np.int64)
+    occ = hist["occurrences"].to_numpy()[order].astype(np.int64)
+    weights = scale // occ
+    rare = (occ < min_count).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((vocab, weights, rare))
+
+    def score(batches):
+        voc, w, r = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            toks = pdf[tokens_col]
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in toks),
+                dtype=np.int64,
+                count=n,
+            )
+            total = int(lens.sum())
+            out = {
+                "doc_id": pdf[id_col].to_numpy(),
+                "n_tok": lens,
+                "rarity_sum": np.zeros(n, dtype=np.int64),
+                "n_rare": np.zeros(n, dtype=np.int64),
+            }
+            if total and len(voc):
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in toks if x is not None and len(x)]
+                )
+                idx = np.searchsorted(voc, flat).clip(0, len(voc) - 1)
+                # tokens absent from the pass-1 vocab (possible only if
+                # the input re-evaluates nondeterministically between
+                # passes) score 0 instead of aliasing a neighbor
+                known = voc[idx] == flat
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                nz = lens > 0
+                starts = offs[:-1][nz]
+                out["rarity_sum"][nz] = np.add.reduceat(
+                    np.where(known, w[idx], 0), starts
+                )
+                out["n_rare"][nz] = np.add.reduceat(
+                    np.where(known, r[idx], 0), starts
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        score, f"{id_col} long, n_tok long, rarity_sum long, n_rare long"
+    )
+
+
 def decontaminate_stats(
     train: DataFrame,
     bench: DataFrame,

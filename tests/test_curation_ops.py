@@ -16,6 +16,7 @@ from logparser_spark.operators.textstats import (
 from logparser_spark.operators.tokenstats import (
     decontaminate,
     decontaminate_stats,
+    rarity_score,
     token_histogram,
 )
 
@@ -150,6 +151,44 @@ def test_token_histogram_matches_explode_groupby(spark):
     )
     exp = sorted(map(tuple, base.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_rarity_score_matches_python_model(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.randrange(20) for _ in range(rng.randrange(0, 25))])
+        for i in range(200)
+    ]
+    rows += [(200, None), (201, []), (202, [999])]  # 999: singleton
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r.asDict() for r in rarity_score(df).collect()}
+
+    occ = Counter(t for _, ts in rows if ts for t in ts)
+    for doc_id, ts in rows:
+        ts = ts or []
+        exp = {
+            "doc_id": doc_id,
+            "n_tok": len(ts),
+            "rarity_sum": sum(1_000_000 // occ[t] for t in ts),
+            "n_rare": sum(1 for t in ts if occ[t] < 2),
+        }
+        assert got[doc_id] == exp, doc_id
+    assert got[202]["rarity_sum"] == 1_000_000 and got[202]["n_rare"] == 1
+
+
+def test_rarity_score_scoring_pass_no_shuffle(spark):
+    # pass 2 must be a pure map: the only wide op in the WHOLE operator
+    # is the |vocab|-bounded histogram inside pass 1 (already executed
+    # by the time the returned plan exists)
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [2, 3, 3])], "doc_id long, tokens array<int>"
+    )
+    out = rarity_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
 
 
 # -------------------------------------------------------------- decon
