@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "rarity",
     "decontaminate",
+    "shards",
 ]
 
 

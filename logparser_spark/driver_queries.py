@@ -455,6 +455,34 @@ def q_token_histogram(spark, sf_dir):
     return tokenstats.token_histogram(tokenized_events(spark, sf_dir))
 
 
+_N_SHARDS = 64
+
+
+def q_shards(spark, sf_dir):
+    """Deterministic corpus shuffle + shard/position assignment (the
+    pre-training 'global shuffle into N shard files' step) — two-phase
+    distributed rank, narrow projection only."""
+    from logparser_spark.operators import sampling
+
+    return sampling.shard_assign(
+        events(spark, sf_dir).select(F.col("event_id").alias("doc_id")),
+        n_shards=_N_SHARDS,
+    )
+
+
+def _shards_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT event_id AS doc_id, md5(CAST(event_id AS VARCHAR)) AS h,
+         ((instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) % {_N_SHARDS} AS shard
+  FROM events
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM s"""
+
+
 def q_rarity(spark, sf_dir):
     """Rare-token density per sequence: global unigram histogram
     (|vocab|-bounded shuffle) broadcast back into a pure-map scoring
@@ -813,6 +841,7 @@ SELECT username, event_id, epoch_us FROM (
     "token_histogram": _token_histogram_oracle(),
     "rarity": _rarity_oracle(),
     "redact": _redact_oracle(),
+    "shards": _shards_oracle(),
 }
 
 PIPELINE_QUERIES = {
@@ -843,4 +872,5 @@ PIPELINE_QUERIES = {
     "token_histogram": q_token_histogram,
     "rarity": q_rarity,
     "redact": q_redact,
+    "shards": q_shards,
 }

@@ -171,6 +171,116 @@ def stratified_take(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def content_shard_expr(id_col: str, n_shards: int):
+    """Deterministic engine-portable shard id in [0, n_shards): the
+    first md5 hex pair decoded with instr() arithmetic — instr/substr/%
+    have identical semantics in Spark SQL and DuckDB, so the oracle
+    reproduces the exact assignment (hence n_shards <= 256)."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in [1, 256]")
+    h = f"md5(cast({id_col} as string))"
+    return F.expr(
+        f"cast(((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr({h}, 2, 1)) - 1) % {n_shards} as int)"
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding — the 'shuffle the
+    corpus, split into N shard files, fix each row's position' step that
+    precedes pretraining. Output: (doc_id, shard, pos) where shard is
+    content-derived (md5 hex pair mod N, uniform by construction) and
+    pos is the row's rank within its shard under (md5(id), id) order —
+    a global pseudorandom permutation that is reproducible across runs,
+    engines, partitionings, and retries.
+
+    Scale plan: a naive row_number() over each shard funnels N/256th of
+    the corpus through one reducer. Instead: range-partition the NARROW
+    (doc_id, hash) projection on (shard, hash, id) — hash keys, so the
+    ranges are uniform and skew-free — compute local per-shard ranks in
+    one mapInPandas pass (vectorized run-length carry), collect per-
+    (partition, shard) counts (bounded: <= partitions + shards rows
+    because shard ranges are contiguous under the range sort), and
+    broadcast the prefix bases back. Same two-phase shape as
+    packing._with_global_offsets, generalized to ranks per key.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel, TaskContext
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+        content_shard_expr(id_col, n_shards).alias("shard"),
+    )
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = narrow.repartitionByRange(
+        n_parts, "shard", "__h", "doc_id"
+    ).sortWithinPartitions("shard", "__h", "doc_id")
+
+    def local_ranks(batches):
+        pid = TaskContext.get().partitionId()
+        run: dict[int, int] = {}
+        for pdf in batches:
+            sh = pdf["shard"].to_numpy()
+            n = len(sh)
+            if n == 0:
+                continue
+            change = np.flatnonzero(np.diff(sh)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            run_id = np.zeros(n, dtype=np.int64)
+            run_id[change] = 1
+            np.cumsum(run_id, out=run_id)
+            carry = np.fromiter(
+                (run.get(int(sh[s]), 0) for s in starts),
+                dtype=np.int64,
+                count=len(starts),
+            )
+            local = np.arange(n, dtype=np.int64) - starts[run_id] + carry[run_id]
+            for s, e in zip(starts, ends):
+                k = int(sh[s])
+                run[k] = run.get(k, 0) + int(e - s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shard": sh,
+                    "pid": np.full(n, pid, dtype=np.int32),
+                    "local_rank": local,
+                }
+            )
+
+    loc = ranged.mapInPandas(
+        local_ranks, "doc_id long, shard int, pid int, local_rank long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = loc.groupBy("pid", "shard").count().collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_shard.setdefault(r["shard"], []).append((r["pid"], r["count"]))
+    bases = []
+    for shard, lst in by_shard.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            bases.append((pid, shard, acc))
+            acc += int(cnt)
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        bases or [(0, 0, 0)], "pid int, shard int, base long"
+    )
+    return loc.join(F.broadcast(base_df), ["pid", "shard"]).select(
+        "doc_id", "shard", (F.col("base") + F.col("local_rank")).alias("pos")
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -7,7 +7,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from logparser_spark.operators.sampling import stratified_take
+from logparser_spark.operators.sampling import shard_assign, stratified_take
 from logparser_spark.operators.textstats import (
     REDACT_PATTERNS,
     redact_pii,
@@ -67,6 +67,55 @@ def test_stratified_take_salt_invariant(spark):
         for r in stratified_take(df.repartition(17), 25, salts=64).collect()
     )
     assert a == b and len(a) == 25 + 25 + 1
+
+
+# --------------------------------------------------------------- shards
+
+
+def _py_shards(ids, n_shards):
+    rows = []
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        shard = (int(h[0], 16) * 16 + int(h[1], 16)) % n_shards
+        rows.append((i, shard, h))
+    out = {}
+    by_shard = {}
+    for i, s, h in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        out[i] = (s, by_shard.get(s, 0))
+        by_shard[s] = by_shard.get(s, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("n_shards", [1, 8, 256])
+def test_shard_assign_matches_python_model(spark, n_shards):
+    ids = list(range(700))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assign(df, n_shards=n_shards).collect()
+    }
+    assert got == _py_shards(ids, n_shards)
+
+
+def test_shard_assign_partitioning_invariant(spark):
+    ids = [(i,) for i in range(500)]
+    a = shard_assign(
+        spark.createDataFrame(ids, "doc_id long"), n_shards=16, n_parts=3
+    )
+    b = shard_assign(
+        spark.createDataFrame(ids, "doc_id long").repartition(11),
+        n_shards=16,
+        n_parts=7,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # positions are dense 0..|shard|-1 within every shard
+    import collections
+
+    per = collections.defaultdict(list)
+    for doc_id, shard, pos in a.collect():
+        per[shard].append(pos)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(len(ps))), shard
 
 
 # --------------------------------------------------------------- redact
