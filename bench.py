@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "token_repetition",
     "token_len_quantiles",
     "pack_chunks",
+    "pack_sequences",
     "chunk_spans",
     "mix_sample",
     "dedup_incremental",

@@ -420,6 +420,41 @@ def q_pack_chunks(spark, sf_dir):
     return packing.pack_chunk_stats(df, seq_len=_SEQ_LEN, len_col="n")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Materialized packed context windows (pack_materialize), reduced
+    to engine-portable content witnesses per chunk: token count, token
+    sum, first/last token. Witness reduction is a vectorized Pandas UDF
+    (not an interpreted HOF — see aggregate()'s interpreted-eval cost)."""
+    packed = packing.pack_materialize(tokenized_events(spark, sf_dir), _SEQ_LEN)
+    return packed.select(
+        "chunk_id",
+        "n_tokens",
+        packing.array_sum_udf()("tokens").alias("tok_sum"),
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", -1).cast("long").alias("last_tok"),
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    L = _SEQ_LEN
+    return (
+        _token_lines_cte()
+        + f""",
+d AS (SELECT doc_id, line, length(line) AS n FROM lines WHERE length(line) > 0),
+o AS (SELECT doc_id, line, n, CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s FROM d),
+ch AS (
+  SELECT s + i - 1 AS g, unicode(substr(line, CAST(i AS INT), 1)) AS c
+  FROM (SELECT line, n, s, unnest(range(1, n + 1)) AS i FROM o)
+)
+SELECT CAST(g // {L} AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS tok_sum,
+       CAST(arg_min(c, g) AS BIGINT) AS first_tok,
+       CAST(arg_max(c, g) AS BIGINT) AS last_tok
+FROM ch GROUP BY 1"""
+    )
+
+
 def q_chunk_spans(spark, sf_dir):
     """Sliding-window chunking with overlap (HF overflow-token
     semantics); tok_sum is the exact window token-id sum, reproduced by
@@ -836,6 +871,7 @@ SELECT username, event_id, epoch_us FROM (
     "token_repetition": _token_repetition_oracle(),
     "token_len_quantiles": _token_len_quantiles_oracle(),
     "pack_chunks": _pack_chunks_oracle(),
+    "pack_sequences": _pack_sequences_oracle(),
     "chunk_spans": _chunk_spans_oracle(),
     "decontaminate": _decontaminate_oracle(),
     "token_histogram": _token_histogram_oracle(),
@@ -867,6 +903,7 @@ PIPELINE_QUERIES = {
     "token_repetition": q_token_repetition,
     "token_len_quantiles": q_token_len_quantiles,
     "pack_chunks": q_pack_chunks,
+    "pack_sequences": q_pack_sequences,
     "chunk_spans": q_chunk_spans,
     "decontaminate": q_decontaminate,
     "token_histogram": q_token_histogram,

@@ -181,6 +181,78 @@ def pack_chunk_stats(
     )
 
 
+def pack_materialize(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Emit the ACTUAL packed context windows: (chunk_id, tokens,
+    n_tokens) where tokens is the concatenation of every document's
+    overlap slice in doc_id order — the physical output of
+    concat-and-chunk packing (``pack_assignments`` is the plan; this
+    materializes it).
+
+    Scale plan: the assignment join shuffles the token payload once on
+    doc_id (both sides data-sized but the narrow side is 32 B/row),
+    map-side slicing cuts each doc to its per-chunk overlap, and the
+    final groupBy(chunk_id) shuffles only the SLICES — every token
+    moves at most twice, no token ever crosses the driver. Per-chunk
+    state is bounded by seq_len (collect_list of slices whose lengths
+    sum to <= seq_len), so reducers never buffer unbounded rows. The
+    within-chunk concat order is pinned by the slice's global start
+    (array_sort on a (start, slice) struct — lexicographic, start
+    first)."""
+    a = pack_assignments(
+        df, seq_len, id_col=id_col, tokens_col=tokens_col, n_parts=n_parts
+    )
+    j = a.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("__t")),
+        "doc_id",
+    )
+    lo = F.greatest(F.col("start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("start") + F.col("n"), (F.col("chunk_id") + 1) * seq_len)
+    piece = F.slice(
+        F.col("__t"),
+        (lo - F.col("start") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    return (
+        j.select(
+            "chunk_id", lo.alias("__lo"), piece.alias("__p")
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__lo"), F.col("__p")))
+                    ),
+                    lambda s: s["__p"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "chunk_id",
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def array_sum_udf():
+    """array<int> -> long sum, vectorized per Arrow batch — the cheap
+    content witness for materialized packed chunks (F.aggregate would
+    evaluate interpreted per element)."""
+
+    @pandas_udf("long")
+    def arr_sum(a: pd.Series) -> pd.Series:
+        return a.map(lambda x: 0 if x is None else int(np.sum(x)))
+
+    return arr_sum
+
+
 def _sliding_chunk_batch(
     tok_series: pd.Series, max_len: int, stride: int
 ) -> tuple[list, list, list]:

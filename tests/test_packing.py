@@ -72,6 +72,33 @@ def test_pack_assignments_from_token_arrays(spark):
     assert rows == [(1, 0), (2, 0), (2, 1), (4, 1)]
 
 
+@pytest.mark.parametrize("n_parts", [1, 4])
+def test_pack_materialize_matches_naive_concat(spark, n_parts):
+    rng = np.random.default_rng(5)
+    docs = {
+        int(i): [int(t) for t in rng.integers(0, 1000, rng.integers(0, 30))]
+        for i in range(150)
+    }
+    flat = [t for i in sorted(docs) for t in docs[i]]
+    L = 64
+    exp = {
+        c: flat[c * L : (c + 1) * L]
+        for c in range((len(flat) + L - 1) // L)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, tokens array<int>"
+    ).repartition(7)
+    got = {
+        r["chunk_id"]: list(r["tokens"])
+        for r in packing.pack_materialize(df, L, n_parts=n_parts).collect()
+    }
+    assert got == exp
+    out = packing.pack_materialize(df, L, n_parts=n_parts)
+    assert all(
+        r["n_tokens"] == len(exp[r["chunk_id"]]) for r in out.collect()
+    )
+
+
 def naive_sliding(tokens, max_len, stride):
     m = len(tokens)
     if m == 0:
