@@ -506,13 +506,13 @@ def q_shards(spark, sf_dir):
 
 
 def _shards_oracle() -> str:
+    v = " + ".join(
+        f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
     return f"""
-WITH s AS (
-  SELECT event_id AS doc_id, md5(CAST(event_id AS VARCHAR)) AS h,
-         ((instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
-          + instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) % {_N_SHARDS} AS shard
-  FROM events
-)
+WITH b AS (SELECT event_id AS doc_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+s AS (SELECT doc_id, h, ({v}) % {_N_SHARDS} AS shard FROM b)
 SELECT doc_id, CAST(shard AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
 FROM s"""
@@ -539,7 +539,7 @@ def q_redact(spark, sf_dir):
 
 
 def _decontaminate_oracle() -> str:
-    t = 1  # threshold_x1000 default
+    t = 0  # threshold_x1000 default: strict any-overlap
     return (
         _token_wins_cte(_DECON_K)
         + f""",
@@ -554,8 +554,8 @@ SELECT l.doc_id,
        CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
        CAST(COALESCE(p.hit_windows, 0) AS BIGINT) AS hit_windows,
        CAST(COALESCE(1000 * p.hit_windows // p.n_windows, 0) AS BIGINT) AS hit_frac_x1000,
-       (COALESCE(p.n_windows, 0) > 0
-        AND COALESCE(1000 * p.hit_windows // p.n_windows, 0) >= {t}) AS contaminated
+       (COALESCE(p.hit_windows, 0) > 0
+        AND 1000 * COALESCE(p.hit_windows, 0) >= {t} * p.n_windows) AS contaminated
 FROM lines l LEFT JOIN per p USING (doc_id)"""
     )
 

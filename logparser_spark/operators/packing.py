@@ -242,13 +242,27 @@ def pack_materialize(
 
 
 def array_sum_udf():
-    """array<int> -> long sum, vectorized per Arrow batch — the cheap
-    content witness for materialized packed chunks (F.aggregate would
-    evaluate interpreted per element)."""
+    """array<int> -> long sum, one flat-concat + reduceat pass per
+    Arrow batch (no per-row Python) — the cheap content witness for
+    materialized packed chunks (F.aggregate would evaluate interpreted
+    per element)."""
 
     @pandas_udf("long")
     def arr_sum(a: pd.Series) -> pd.Series:
-        return a.map(lambda x: 0 if x is None else int(np.sum(x)))
+        n = len(a)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in a), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in a if x is not None and len(x)]
+            )
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            nz = lens > 0
+            out[nz] = np.add.reduceat(flat, offs[:-1][nz])
+        return pd.Series(out)
 
     return arr_sum
 

@@ -176,16 +176,19 @@ _HEX = "0123456789abcdef"
 
 def content_shard_expr(id_col: str, n_shards: int):
     """Deterministic engine-portable shard id in [0, n_shards): the
-    first md5 hex pair decoded with instr() arithmetic — instr/substr/%
-    have identical semantics in Spark SQL and DuckDB, so the oracle
-    reproduces the exact assignment (hence n_shards <= 256)."""
+    first FOUR md5 hex chars (16 bits) decoded with instr() arithmetic,
+    mod n_shards — instr/substr/% have identical semantics in Spark SQL
+    and DuckDB, so the oracle reproduces the exact assignment. Exactly
+    uniform when n_shards divides 65536 (any power of two <= 256);
+    otherwise the mod bias is < n_shards/65536 (< 0.4% relative skew)."""
     if not 1 <= n_shards <= 256:
         raise ValueError("n_shards must be in [1, 256]")
     h = f"md5(cast({id_col} as string))"
-    return F.expr(
-        f"cast(((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
-        f" + instr('{_HEX}', substr({h}, 2, 1)) - 1) % {n_shards} as int)"
+    v = " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
     )
+    return F.expr(f"cast(({v}) % {n_shards} as int)")
 
 
 def shard_assign(
@@ -197,10 +200,13 @@ def shard_assign(
     """Deterministic global corpus shuffle + sharding — the 'shuffle the
     corpus, split into N shard files, fix each row's position' step that
     precedes pretraining. Output: (doc_id, shard, pos) where shard is
-    content-derived (md5 hex pair mod N, uniform by construction) and
+    content-derived (16 md5 bits mod N — exactly uniform for N | 65536,
+    see ``content_shard_expr``) and
     pos is the row's rank within its shard under (md5(id), id) order —
     a global pseudorandom permutation that is reproducible across runs,
-    engines, partitionings, and retries.
+    engines, partitionings, and retries. The mid-frame cache persists
+    until the session drops it (cached blocks are LRU-evictable under
+    memory pressure, so repeated calls degrade to recompute, not OOM).
 
     Scale plan: a naive row_number() over each shard funnels N/256th of
     the corpus through one reducer. Instead: range-partition the NARROW
@@ -259,8 +265,9 @@ def shard_assign(
                 }
             )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     loc = ranged.mapInPandas(
-        local_ranks, "doc_id long, shard int, pid int, local_rank long"
+        local_ranks, f"doc_id {id_t}, shard int, pid int, local_rank long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = loc.groupBy("pid", "shard").count().collect()
     by_shard: dict[int, list[tuple[int, int]]] = {}

@@ -140,12 +140,15 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     the scrubbing pass a training-data pipeline runs before publishing
     a corpus.
 
-    Output: (doc_id, n_<kind> per pattern, redacted_sig) where counts
-    are matched spans in the ORIGINAL text (patterns are mutually
-    non-overlapping by construction: IP octets are <=3 digits, so the
-    9+-digit-run pattern never intersects an IPv4 match, and the
-    replacement tokens contain no digits) and redacted_sig is
-    md5(text after applying the replacements in REDACT_PATTERNS order).
+    Output: (doc_id, n_<kind> per pattern, redacted_sig). Each count is
+    the pattern's matches over the ORIGINAL text, evaluated
+    INDEPENDENTLY — detector tallies, not a partition: spans may be
+    claimed by more than one counter (e.g. 'user123456789' counts one
+    userid AND one longnum). redacted_sig is md5(text after applying
+    the replacements sequentially in REDACT_PATTERNS order), so the
+    earliest-listed pattern wins contested spans in the masked output
+    and a later count may exceed its surviving masks. Both sides of the
+    oracle compute the same two definitions, so they hash-match.
 
     Scale posture: pure narrow map — regexp_count/regexp_replace are
     JVM codegen expressions, the stage fuses into the scan, and NOTHING

@@ -230,11 +230,12 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             if not arrs:
                 continue
             tok, occ = np.unique(np.concatenate(arrs), return_counts=True)
-            tok_d, dcs = np.unique(
+            # the per-row-distinct concat has the SAME key set as tok
+            # (every batch token appears in at least one row), so the
+            # doc counts align with tok positionally
+            _, docs = np.unique(
                 np.concatenate([np.unique(a) for a in arrs]), return_counts=True
             )
-            docs = np.zeros(len(tok), dtype=np.int64)
-            docs[np.searchsorted(tok, tok_d)] = dcs
             yield pd.DataFrame(
                 {"token": tok.astype(np.int32), "occurrences": occ, "docs": docs}
             )
@@ -272,6 +273,11 @@ def rarity_score(
     shuffles — unlike the explode -> broadcast-join -> per-doc groupBy
     formulation, whose final groupBy shuffles one row per token
     POSITION.
+
+    The broadcast lives until the returned plan is garbage-collected
+    (it is captured by the UDF closure); per-job usage is one
+    vocab-sized broadcast, same lifetime class as a broadcast dim
+    table. Repeated calls in one long session each ship a fresh one.
     """
     hist = token_histogram(df, tokens_col).toPandas()
     order = np.argsort(hist["token"].to_numpy())
@@ -293,7 +299,7 @@ def rarity_score(
             )
             total = int(lens.sum())
             out = {
-                "doc_id": pdf[id_col].to_numpy(),
+                id_col: pdf[id_col],
                 "n_tok": lens,
                 "rarity_sum": np.zeros(n, dtype=np.int64),
                 "n_rare": np.zeros(n, dtype=np.int64),
@@ -319,8 +325,9 @@ def rarity_score(
                 )
             yield pd.DataFrame(out)
 
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, tokens_col).mapInPandas(
-        score, f"{id_col} long, n_tok long, rarity_sum long, n_rare long"
+        score, f"{id_col} {id_t}, n_tok long, rarity_sum long, n_rare long"
     )
 
 
@@ -330,12 +337,16 @@ def decontaminate_stats(
     k: int = 20,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
-    threshold_x1000: int = 1,
+    threshold_x1000: int = 0,
 ) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C style): per training
     document, how many of its k-token windows also occur anywhere in a
-    held-out benchmark set, and a contamination flag at
-    hit_frac >= threshold_x1000/1000 (default: any overlap).
+    held-out benchmark set, and a contamination flag: hit_windows > 0
+    AND exact 1000*hit_windows >= threshold_x1000*n_windows
+    (cross-multiplied — never the floored display column, which rounds
+    a 1-in-2000-window hit to 0). The default threshold_x1000=0 is
+    strict any-overlap (GPT-3 appendix-C: one colliding window flags
+    the doc regardless of its length).
 
     Output: (doc_id, n_windows, hit_windows, hit_frac_x1000,
     contaminated). ``decontaminate`` below is the filtering form.
@@ -375,8 +386,11 @@ def decontaminate_stats(
         ).alias("hit_frac_x1000"),
     ).withColumn(
         "contaminated",
-        (F.col("n_windows") > 0)
-        & (F.col("hit_frac_x1000") >= F.lit(threshold_x1000)),
+        (F.col("hit_windows") > 0)
+        & (
+            1000 * F.col("hit_windows")
+            >= F.lit(threshold_x1000) * F.col("n_windows")
+        ),
     )
 
 
@@ -386,7 +400,7 @@ def decontaminate(
     k: int = 20,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
-    threshold_x1000: int = 1,
+    threshold_x1000: int = 0,
 ) -> DataFrame:
     """Training rows with no (or below-threshold) benchmark window
     overlap — the filtering form of ``decontaminate_stats``. The flag

@@ -76,7 +76,7 @@ def _py_shards(ids, n_shards):
     rows = []
     for i in ids:
         h = hashlib.md5(str(i).encode()).hexdigest()
-        shard = (int(h[0], 16) * 16 + int(h[1], 16)) % n_shards
+        shard = int(h[:4], 16) % n_shards
         rows.append((i, shard, h))
     out = {}
     by_shard = {}
@@ -274,6 +274,24 @@ def test_decontaminate_stats_tiny(spark):
         r["doc_id"] for r in decontaminate(train, bench, k=3).collect()
     )
     assert kept == [2, 4]
+
+
+def test_decontaminate_any_overlap_long_doc(spark):
+    # 1 hit among >1000 windows: the floored hit_frac_x1000 display
+    # column rounds to 0 — the flag must use the exact compare and
+    # still fire under the any-overlap default
+    train = spark.createDataFrame(
+        [(1, list(range(3000)))], "doc_id long, tokens array<int>"
+    )
+    bench = spark.createDataFrame(
+        [(9, [5, 6, 7])], "doc_id long, tokens array<int>"
+    )
+    out = decontaminate_stats(train, bench, k=3).collect()[0]
+    assert out["n_windows"] == 2998 and out["hit_windows"] == 1
+    assert out["hit_frac_x1000"] == 0 and out["contaminated"]
+    # fractional threshold: 1 hit in 2998 windows is below 1/1000
+    out2 = decontaminate_stats(train, bench, k=3, threshold_x1000=1).collect()[0]
+    assert not out2["contaminated"]
 
 
 def test_decontaminate_self_overlap(spark):
