@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_near_dup",
     "embed_near_dup",
+    "semantic_dedup",
     "text_quality",
     "token_counts",
     "ngram_vocab",

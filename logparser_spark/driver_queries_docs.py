@@ -137,6 +137,17 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: cluster, dedup within
+    cluster, keeper per duplicate component. Deterministic (seeded
+    sample/init/iterations) -> golden-pinned; float centroids are not
+    SQL-reproducible, so no DuckDB oracle. Threshold matches the
+    dataset's near-dup scale (max pairwise cosine ~0.5)."""
+    return similarity.semantic_dedup(
+        embeddings(spark, sf_dir), threshold=0.35, n_lists=8
+    )
+
+
 def q_media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.attach_payload(documents(spark, sf_dir))
@@ -265,6 +276,7 @@ DOC_QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
+    "semantic_dedup": q_semantic_dedup,  # rows-only (float centroids not SQL-reproducible)
     "simhash_near_dup": q_simhash_near_dup,  # rows-only (hash family not in DuckDB)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
     "media_stats": q_media_stats,

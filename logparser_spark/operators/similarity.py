@@ -376,6 +376,89 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 10_000,
+    train_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al.
+    2023, arXiv:2303.09540): spherical k-means clusters the embedding
+    space, exact pairwise cosine WITHIN each cluster finds duplicate
+    groups, one keeper survives per group. Cross-cluster pairs are
+    never compared — that is the sanctioned approximation that turns
+    O(N^2) into sum of per-cluster squares.
+
+    Output: one row per vector — (vec_id, cluster_id, keeper_id,
+    is_keeper) where keeper_id is the smallest vec_id in the vector's
+    within-cluster duplicate component (connected components of the
+    cos >= threshold graph, resolved locally per cluster) and
+    singletons keep themselves. Filter is_keeper for the deduped set.
+
+    Scale plan: centroids train on a seeded hash-ordered sample
+    (driver-side, tiny), assignment is one argmax-matmul per Arrow
+    batch (pure map), and the only shuffle is the groupBy(cluster) of
+    (id, vector) rows. Per-cluster memory is O((N/n_lists) * dim +
+    pair count) — size n_lists so a cluster fits an executor (SemDeDup
+    used 50k clusters for LAION-scale); a skew-heavy cluster calls for
+    more lists, not a bigger executor. Deterministic end to end (seeded
+    sample, seeded init, fixed iteration count), so the result is
+    golden-pinnable; no SQL oracle (float centroids are not
+    SQL-reproducible).
+    """
+    cents = _train_centroids(
+        emb, n_lists, vec_col, seed, train_sample, train_iters, id_col=id_col
+    )
+
+    @pandas_udf("int")
+    def assign_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    out_schema = "vec_id long, cluster_id int, keeper_id long, is_keeper boolean"
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        parent = np.arange(len(ids))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by smaller index == smaller id (ids sorted asc)
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(int(i)) for i in range(len(ids))), dtype=np.int64)
+        keeper = ids[roots]  # root index is the component's min id
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(len(ids), int(pdf["_list"].iat[0]), dtype=np.int32),
+                "keeper_id": keeper,
+                "is_keeper": keeper == ids,
+            }
+        )
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), assign_udf(F.col(vec_col)).alias("_list")
+    )
+    return assigned.groupBy("_list").applyInPandas(dedup_cluster, schema=out_schema)
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

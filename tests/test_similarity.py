@@ -95,3 +95,49 @@ def test_lsh_topk_deterministic(emb):
     a = sim.lsh_topk(emb, query_ids=[0, 1, 2], k=3).collect()
     b = sim.lsh_topk(emb, query_ids=[0, 1, 2], k=3).collect()
     assert a == b
+
+
+def test_semantic_dedup_groups_and_keepers(spark):
+    # three orthogonal directions, each with three scaled copies
+    # (cosine 1.0 within the direction — identical after normalize, so
+    # they co-cluster under ANY centroid set); plus one antipodal
+    # vector (cosine -1: same cluster or not, never a duplicate)
+    rows, expected = [], {}
+    vid = 0
+    for d in range(3):
+        ids = []
+        for s in (1.0, 2.0, 0.5):
+            v = [0.0] * 8
+            v[d] = s
+            rows.append((vid, v))
+            ids.append(vid)
+            vid += 1
+        for i in ids:
+            expected[i] = min(ids)
+    anti = [0.0] * 8
+    anti[0] = -1.0
+    rows.append((vid, anti))
+    expected[vid] = vid
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in sim.semantic_dedup(
+            df, threshold=0.99, n_lists=4, train_sample=100
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    for i, k in expected.items():
+        assert out[i]["keeper_id"] == k, i
+        assert out[i]["is_keeper"] == (i == k)
+    # exactly 4 keepers survive: one per direction + the antipode
+    assert sum(r["is_keeper"] for r in out.values()) == 4
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    rng = np.random.default_rng(9)
+    rows = [(int(i), rng.normal(size=8).tolist()) for i in range(200)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = a.repartition(13)
+    ra = sorted(map(tuple, sim.semantic_dedup(a, 0.8, n_lists=5).collect()))
+    rb = sorted(map(tuple, sim.semantic_dedup(b, 0.8, n_lists=5).collect()))
+    assert ra == rb
