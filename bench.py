@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "media_decode",
     "frame_sample",
     "dup_spans",
+    "dup_removal",
     "token_repetition",
     "token_len_quantiles",
     "pack_chunks",

@@ -388,6 +388,37 @@ def q_dup_spans(spark, sf_dir):
     return tokenstats.dup_span_stats(tokenized_events(spark, sf_dir), k=_DUP_K)
 
 
+def q_dup_removal(spark, sf_dir):
+    """ExactSubstr removal accounting: per document, tokens covered by
+    at least one corpus-duplicated k-window (what the span-removal
+    rewrite would cut)."""
+    return tokenstats.dup_span_removal(tokenized_events(spark, sf_dir), k=_DUP_K)
+
+
+def _dup_removal_oracle() -> str:
+    k = _DUP_K
+    return (
+        _token_lines_cte()
+        + f""",
+pos AS (SELECT doc_id, line, unnest(range(1, length(line) - {k} + 2)) AS i FROM lines),
+wins AS (SELECT doc_id, i, substr(line, CAST(i AS INT), {k}) AS w FROM pos),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) > 1),
+ds AS (SELECT doc_id, i FROM wins WHERE w IN (SELECT w FROM dupw)),
+seg AS (
+  SELECT doc_id,
+         LEAST(CAST({k} AS BIGINT),
+               COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i,
+                        CAST({k} AS BIGINT))) AS s
+  FROM ds
+),
+rem AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_removed FROM seg GROUP BY doc_id)
+SELECT l.doc_id, CAST(length(l.line) AS BIGINT) AS n_tok,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(length(l.line) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM lines l LEFT JOIN rem r USING (doc_id)"""
+    )
+
+
 def q_token_repetition(spark, sf_dir):
     """Within-doc repeated-window excess (Gopher repetition gate) —
     row-local, zero-shuffle map stage."""
@@ -868,6 +899,7 @@ SELECT username, event_id, epoch_us FROM (
   FROM parsed WHERE valid
 ) WHERE rn = 1 ORDER BY username""",
     "dup_spans": _dup_spans_oracle(),
+    "dup_removal": _dup_removal_oracle(),
     "token_repetition": _token_repetition_oracle(),
     "token_len_quantiles": _token_len_quantiles_oracle(),
     "pack_chunks": _pack_chunks_oracle(),
@@ -900,6 +932,7 @@ PIPELINE_QUERIES = {
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
     "dup_spans": q_dup_spans,
+    "dup_removal": q_dup_removal,
     "token_repetition": q_token_repetition,
     "token_len_quantiles": q_token_len_quantiles,
     "pack_chunks": q_pack_chunks,

@@ -173,6 +173,57 @@ def dup_span_stats(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """ExactSubstr REMOVAL accounting (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    how many token positions are covered by at least one corpus-
+    duplicated k-window — i.e. exactly how much text the span-removal
+    rewrite would cut. Output: (doc_id, n_tok, n_removed, n_kept).
+
+    The covered-position count is the measure of the UNION of the
+    duplicated windows' intervals [i, i+k): with the dup starts sorted
+    per doc, each start contributes min(k, next_start - start) and the
+    last contributes k — one lag/lead window per doc over the (small)
+    dup-start set, exactly reproducible in SQL. The detection DAG is
+    ``dup_span_stats``'s (hash -> count groupBy -> semi join back);
+    the extra per-doc window ranks only duplicated starts, not all
+    positions.
+    """
+    hashed = with_window_hashes(
+        df.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    )
+    pos = hashed.select(
+        "doc_id", F.posexplode("win_hashes").alias("i", "h")
+    )
+    occ = pos.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup_start = pos.join(
+        occ.where(F.col("occ") > 1).select("h"), "h", "left_semi"
+    ).select("doc_id", "i")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    seg = F.least(F.lit(k).cast("long"), F.lead("i").over(w) - F.col("i"))
+    removed = (
+        dup_start.select("doc_id", F.coalesce(seg, F.lit(k)).alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("n_removed"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_col).cast("long").alias("n_tok")
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        (F.col("n_tok") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+    )
+
+
 def doc_repetition(
     df: DataFrame, k: int = 4, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

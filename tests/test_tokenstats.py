@@ -162,3 +162,50 @@ def test_window_hash_udf_marked_nondeterministic():
     # the UDF must be nondeterministic so Catalyst never duplicates
     # the kernel below an exchange (see functions/parse.py)
     assert tokenstats.window_hash_udf(4).deterministic is False
+
+
+def test_dup_span_removal_interval_union(spark):
+    # doc 1: [5,6,7,8,5,6,7,8] k=3 -> windows at 0..5; (5,6,7) dups at
+    # 0,4; (6,7,8) dups at 1,5 -> dup starts {0,1,4,5}, union
+    # [0,4)+[4,8) = 8 tokens removed (the WHOLE doc: overlapping spans
+    # merge, no double count)
+    # doc 2: shares window (5,6,7) once at start 2 -> 3 removed
+    # doc 3: unique content -> 0 removed; doc 4: too short -> 0 windows
+    df = spark.createDataFrame(
+        [
+            (1, [5, 6, 7, 8, 5, 6, 7, 8]),
+            (2, [1, 2, 5, 6, 7, 9]),
+            (3, [30, 31, 32, 33]),
+            (4, [5]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in tokenstats.dup_span_removal(df, k=3).collect()
+    }
+    assert rows[1] == {"doc_id": 1, "n_tok": 8, "n_removed": 8, "n_kept": 0}
+    assert rows[2] == {"doc_id": 2, "n_tok": 6, "n_removed": 3, "n_kept": 3}
+    assert rows[3]["n_removed"] == 0 and rows[3]["n_kept"] == 4
+    assert rows[4] == {"doc_id": 4, "n_tok": 1, "n_removed": 0, "n_kept": 1}
+
+
+def test_dup_span_removal_consistent_with_stats(spark):
+    import random
+
+    rng = random.Random(19)
+    rows = [
+        (i, [rng.randrange(4) for _ in range(rng.randrange(0, 30))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    rem = {r["doc_id"]: r for r in tokenstats.dup_span_removal(df, k=4).collect()}
+    st = {r["doc_id"]: r for r in dup_span_stats(df, k=4).collect()}
+    for i, toks in rows:
+        assert 0 <= rem[i]["n_removed"] <= rem[i]["n_tok"] == len(toks)
+        # removal covers at least one position per dup window and never
+        # exceeds k per dup window
+        if st[i]["dup_windows"] == 0:
+            assert rem[i]["n_removed"] == 0
+        else:
+            assert st[i]["dup_windows"] <= rem[i]["n_removed"] <= 4 * st[i]["dup_windows"] + 3
