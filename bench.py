@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dim_statuses",
     "dim_actions",
     "dataset_period",
+    "asof_enrich",
     "dedup_exact",
     "minhash_lsh",
     "near_dup_clusters",

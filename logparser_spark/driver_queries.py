@@ -497,6 +497,40 @@ def q_chunk_spans(spark, sf_dir):
     )
 
 
+def q_asof(spark, sf_dir):
+    """Point-in-time enrichment: every event picks up the latest
+    snapshot (every-101st event, deduped per (key, time)) at or before
+    its timestamp — union + ordered carry-forward; oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from logparser_spark.operators.asof import asof_join
+
+    ev = events(spark, sf_dir)
+    t = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    k = (F.col("user_id") % 8).alias("k")
+    left = ev.select("event_id", k, t.alias("t"))
+    snaps = (
+        ev.where(F.col("event_id") % 101 == 0)
+        .select(k, t.alias("t"))
+        .distinct()
+        .withColumn("snap", (F.col("t") * 31 + F.col("k")) % F.lit(1000003))
+    )
+    return asof_join(left, snaps, ["k"], "t", ["snap"])
+
+
+def _asof_oracle() -> str:
+    return """
+WITH l AS (
+  SELECT event_id, user_id % 8 AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+r AS (
+  SELECT DISTINCT user_id % 8 AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_id % 101 = 0
+),
+s AS (SELECT k, t, (t * 31 + k) % 1000003 AS snap FROM r)
+SELECT l.event_id, l.k, l.t, s.snap
+FROM l ASOF LEFT JOIN s ON l.k = s.k AND l.t >= s.t"""
+
+
 _DECON_K = 20  # decontamination window length (tokens)
 
 
@@ -898,6 +932,7 @@ SELECT username, event_id, epoch_us FROM (
          row_number() OVER (PARTITION BY username ORDER BY epoch_us DESC, event_id DESC) AS rn
   FROM parsed WHERE valid
 ) WHERE rn = 1 ORDER BY username""",
+    "asof_enrich": _asof_oracle(),
     "dup_spans": _dup_spans_oracle(),
     "dup_removal": _dup_removal_oracle(),
     "token_repetition": _token_repetition_oracle(),
@@ -931,6 +966,7 @@ PIPELINE_QUERIES = {
     "sessions": q_sessions,
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
+    "asof_enrich": q_asof,
     "dup_spans": q_dup_spans,
     "dup_removal": q_dup_removal,
     "token_repetition": q_token_repetition,

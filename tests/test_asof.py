@@ -1,0 +1,65 @@
+"""As-of (point-in-time) join: union + ordered carry-forward."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators.asof import asof_join
+
+
+def test_asof_hand_case(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", 5),   # before any snapshot -> NULL
+            (2, "a", 10),  # exactly at snapshot t=10 -> 100
+            (3, "a", 14),  # between 10 and 20 -> 100
+            (4, "a", 25),  # after 20 -> 200
+            (5, "b", 50),  # other key, after its only snapshot -> 900
+            (6, "c", 7),   # key with no snapshots at all -> NULL
+        ],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 20, 200), ("b", 1, 900)],
+        "k string, t long, snap long",
+    )
+    out = {r["event_id"]: r["snap"] for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()}
+    assert out == {1: None, 2: 100, 3: 100, 4: 200, 5: 900, 6: None}
+
+
+def test_asof_matches_naive_model(spark):
+    rng = random.Random(23)
+    left_rows = [(i, rng.randrange(4), rng.randrange(1000)) for i in range(400)]
+    # distinct (k, t) snapshots with value derived from (k, t)
+    snap_kt = {(rng.randrange(4), rng.randrange(1000)) for _ in range(60)}
+    right_rows = [(k, t, 1000 * k + t) for k, t in snap_kt]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, snap long")
+    got = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()
+    }
+    for i, k, t in left_rows:
+        cand = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        exp = max(cand)[1] if cand else None
+        assert got[i] == exp, (i, k, t)
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "event_id long, k long, snap long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, ["k"], "snap", ["snap"])
+
+
+def test_asof_preserves_left_rows_and_schema(spark):
+    left = spark.createDataFrame(
+        [(i, i % 2, i, f"x{i}") for i in range(100)],
+        "event_id long, k long, t long, payload string",
+    )
+    right = spark.createDataFrame([(0, 10, 7)], "k long, t long, snap long")
+    out = asof_join(left, right, ["k"], "t", ["snap"])
+    assert out.count() == 100
+    assert out.columns == ["event_id", "k", "t", "payload", "snap"]
+    # left payload untouched
+    assert out.where("payload = 'x3'").count() == 1
