@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dim_actions",
     "dataset_period",
     "asof_enrich",
+    "interval_join",
     "dedup_exact",
     "minhash_lsh",
     "near_dup_clusters",

@@ -531,6 +531,38 @@ SELECT l.event_id, l.k, l.t, s.snap
 FROM l ASOF LEFT JOIN s ON l.k = s.k AND l.t >= s.t"""
 
 
+def q_interval_join(spark, sf_dir):
+    """Events inside derived incident windows (every-89th event opens a
+    1-7h window): bucketized range join — equi-join on hour buckets +
+    exact BETWEEN confirm, never a nested-loop plan."""
+    from logparser_spark.operators.asof import range_join
+
+    ev = events(spark, sf_dir)
+    t = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    left = ev.select("event_id", t.alias("t"))
+    right = (
+        ev.where(F.col("event_id") % 89 == 0)
+        .select(F.col("event_id").alias("incident_id"), t.alias("lo"))
+        .withColumn("hi", F.col("lo") + (F.col("incident_id") % 7 + 1) * 3600)
+    )
+    return range_join(left, right, "t", "lo", "hi", bucket=3600).select(
+        "event_id", "t", "incident_id"
+    )
+
+
+def _interval_join_oracle() -> str:
+    return """
+WITH l AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+r AS (
+  SELECT event_id AS incident_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 3600 AS hi
+  FROM events WHERE event_id % 89 = 0
+)
+SELECT l.event_id, l.t, r.incident_id
+FROM l JOIN r ON l.t BETWEEN r.lo AND r.hi"""
+
+
 _DECON_K = 20  # decontamination window length (tokens)
 
 
@@ -933,6 +965,7 @@ SELECT username, event_id, epoch_us FROM (
   FROM parsed WHERE valid
 ) WHERE rn = 1 ORDER BY username""",
     "asof_enrich": _asof_oracle(),
+    "interval_join": _interval_join_oracle(),
     "dup_spans": _dup_spans_oracle(),
     "dup_removal": _dup_removal_oracle(),
     "token_repetition": _token_repetition_oracle(),
@@ -967,6 +1000,7 @@ PIPELINE_QUERIES = {
     "stream_hourly": q_stream_hourly,
     "keep_latest": q_keep_latest,
     "asof_enrich": q_asof,
+    "interval_join": q_interval_join,
     "dup_spans": q_dup_spans,
     "dup_removal": q_dup_removal,
     "token_repetition": q_token_repetition,

@@ -66,3 +66,47 @@ def asof_join(
     for v in value_cols:
         u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return u.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Point-in-interval range join: every (left, right) pair with
+    right.lo <= left.t <= right.hi — events inside incident/maintenance
+    windows, points inside validity intervals.
+
+    Spark plans a raw non-equi join as BroadcastNestedLoopJoin (O(n*m)
+    comparisons, broadcast-sized right). This is the bucketized
+    rewrite: each interval explodes to the width-``bucket`` buckets it
+    covers, each point keys by its own bucket, and an EQUI-join on the
+    bucket produces candidates that one exact BETWEEN filter confirms.
+    A matching pair meets in exactly ONE bucket (the point's), so the
+    output needs no dedup. Shuffle is |left| + sum(interval_span)/bucket
+    rows; pick ``bucket`` near the median interval length so intervals
+    explode to O(1) buckets while bucket-candidate lists stay short.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"left/right column collision: {sorted(overlap)}")
+    lb = left.withColumn(
+        "__b", F.floor(F.col(t_col) / bucket).cast("long")
+    )
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket).cast("long"),
+                F.floor(F.col(hi_col) / bucket).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__b")
+        .where(F.col(t_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__b")
+    )

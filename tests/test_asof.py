@@ -63,3 +63,55 @@ def test_asof_preserves_left_rows_and_schema(spark):
     assert out.columns == ["event_id", "k", "t", "payload", "snap"]
     # left payload untouched
     assert out.where("payload = 'x3'").count() == 1
+
+
+# ------------------------------------------------------------ range join
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    from logparser_spark.operators.asof import range_join
+
+    rng = random.Random(31)
+    pts = [(i, rng.randrange(10_000)) for i in range(300)]
+    ivs = []
+    for j in range(40):
+        lo = rng.randrange(10_000)
+        ivs.append((1000 + j, lo, lo + rng.randrange(0, 900)))
+    left = spark.createDataFrame(pts, "event_id long, t long")
+    right = spark.createDataFrame(ivs, "iv long, lo long, hi long")
+    for bucket in (64, 250, 5000):
+        got = sorted(
+            (r["event_id"], r["iv"])
+            for r in range_join(left, right, "t", "lo", "hi", bucket).collect()
+        )
+        exp = sorted(
+            (i, j)
+            for i, t in pts
+            for j, lo, hi in ivs
+            if lo <= t <= hi
+        )
+        assert got == exp, bucket  # exact and duplicate-free at any width
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from logparser_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, 5)], "event_id long, t long")
+    right = spark.createDataFrame([(2, 0, 10)], "iv long, lo long, hi long")
+    plan = (
+        range_join(left, right, "t", "lo", "hi", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_rejects_collision(spark):
+    from logparser_spark.operators.asof import range_join
+
+    df = spark.createDataFrame([(1, 2, 3)], "t long, lo long, hi long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(df, df, "t", "lo", "hi", 10)
