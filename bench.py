@@ -109,9 +109,10 @@ _T0 = time.monotonic()  # process start — the budget clock
 BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
 
 # Local steady-state cost of the headline block at local[32]/sf0.1
-# (measured ~85 s at 38 queries, ~95 s at 42). elapsed/expected = the
-# harness contention factor used to scale the pipeline-block estimate.
-_HEADLINE_EXPECTED_SEC = 95.0
+# (measured ~85 s at 38 queries, ~95 s at 42, ~100 s at 49).
+# elapsed/expected = the harness contention factor used to scale the
+# pipeline-block estimate.
+_HEADLINE_EXPECTED_SEC = 100.0
 # Local costs of the pipeline block pieces (measured): 10M-row fixture
 # generation ~110 s (fixtures_cache/ is gitignored, so the driver
 # always regenerates), warmup pass ~35 s, timed trial ~30 s.
