@@ -49,23 +49,44 @@ def asof_join(
     Ties: a right row at exactly left.time matches. Multiple right rows
     at the SAME (key, time) are ambiguous by definition — the caller
     must dedup snapshots first (keep_latest) if the source allows them.
+
+    SQL-faithful edges: the WHOLE matched snapshot is carried as one
+    struct, so a NULL field in the latest snapshot stays NULL (an older
+    snapshot's value is never resurrected, and multi-column results
+    never mix two snapshots); right rows with a NULL key or NULL time
+    are dropped up front (NULL comparisons match nothing in SQL), and a
+    left row with NULL time sorts before every snapshot, yielding NULLs.
     """
     overlap = [c for c in left.columns if c in value_cols]
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}")
+    for internal in ("__side", "__snap"):
+        if internal in left.columns or internal in right.columns:
+            raise ValueError(f"reserved column name in input: {internal}")
     l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(
-        *key_cols, F.col(time_col), *value_cols
-    ).withColumn("__side", F.lit(0))
+    r_not_null = right
+    for c in [*key_cols, time_col]:
+        r_not_null = r_not_null.where(F.col(c).isNotNull())
+    # snapshot payload as ONE nullable struct: NULL on left rows (so
+    # ignorenulls skips them), a struct — even of NULL fields — on
+    # right rows (so the latest snapshot wins wholesale)
+    r_tag = r_not_null.select(
+        *key_cols,
+        F.col(time_col),
+        F.lit(0).alias("__side"),
+        F.struct(*value_cols).alias("__snap"),
+    )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__snap", F.last("__snap", ignorenulls=True).over(w))
+    out = u.where(F.col("__side") == 1)
     for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.where(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(v, F.col("__snap")[v])
+    return out.drop("__side", "__snap")
 
 
 def range_join(
@@ -89,10 +110,16 @@ def range_join(
     output needs no dedup. Shuffle is |left| + sum(interval_span)/bucket
     rows; pick ``bucket`` near the median interval length so intervals
     explode to O(1) buckets while bucket-candidate lists stay short.
+    Inverted intervals (hi < lo) match nothing, exactly like SQL
+    BETWEEN — filtered before the explode, where sequence() would
+    otherwise count DOWN and blow up on a corrupt row.
     """
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"left/right column collision: {sorted(overlap)}")
+    if "__b" in left.columns or "__b" in right.columns:
+        raise ValueError("reserved column name in input: __b")
+    right = right.where(F.col(lo_col) <= F.col(hi_col))
     lb = left.withColumn(
         "__b", F.floor(F.col(t_col) / bucket).cast("long")
     )

@@ -33,6 +33,16 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize in place, mapping zero vectors to zero (cosine 0
+    with everything) instead of NaN — a NaN row would otherwise poison
+    argmax/centroid math downstream (one NaN centroid collapses every
+    assignment into a single cluster)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    m /= np.where(n == 0.0, 1.0, n)
+    return m
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -94,7 +104,7 @@ def cosine_near_dup_pairs(
     base = emb.select(id_col, vec_col).toPandas()
     ids_all = base[id_col].to_numpy(dtype=np.int64)
     m = np.stack(base[vec_col].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    _unit_rows(m)
     bc = spark.sparkContext.broadcast((ids_all, m))
 
     out_schema = "vec_a long, vec_b long, cosine_x10000 long"
@@ -104,7 +114,7 @@ def cosine_near_dup_pairs(
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            _unit_rows(q)
             sims = q @ mat.T  # (batch, N)
             ii, jj = np.nonzero(sims >= threshold)
             a, b = q_ids[ii], ids_b[jj]
@@ -163,7 +173,7 @@ def cosine_near_dup_blocked(
     def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        _unit_rows(m)
         lo, hi = int(pdf["_blo"].iat[0]), int(pdf["_bhi"].iat[0])
         if lo == hi:
             sims = m @ m.T
@@ -278,7 +288,7 @@ def _train_centroids(
         .toPandas()
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    _unit_rows(x)
     rng = np.random.default_rng(seed)
     # k-means++-style init (deterministic): seed one random point, then
     # greedily add the point farthest (in cosine) from its nearest
@@ -338,13 +348,13 @@ def ivf_topk(
     @pandas_udf("int")
     def assign_udf(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        _unit_rows(m)
         return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
 
     @pandas_udf("array<int>")
     def probe_udf(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        _unit_rows(m)
         order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
@@ -417,16 +427,19 @@ def semantic_dedup(
     @pandas_udf("int")
     def assign_udf(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        _unit_rows(m)
         return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
 
-    out_schema = "vec_id long, cluster_id int, keeper_id long, is_keeper boolean"
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, cluster_id int, keeper_id {id_t}, is_keeper boolean"
+    )
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        _unit_rows(m)
         sims = m @ m.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
         parent = np.arange(len(ids))
@@ -446,7 +459,7 @@ def semantic_dedup(
         keeper = ids[roots]  # root index is the component's min id
         return pd.DataFrame(
             {
-                "vec_id": ids,
+                id_col: ids,
                 "cluster_id": np.full(len(ids), int(pdf["_list"].iat[0]), dtype=np.int32),
                 "keeper_id": keeper,
                 "is_keeper": keeper == ids,

@@ -200,6 +200,12 @@ def dup_span_removal(
     pos = hashed.select(
         "doc_id", F.posexplode("win_hashes").alias("i", "h")
     )
+    # pos feeds two consumers (the occ groupBy and the semi-join probe);
+    # persist or the tokenize+hash kernel runs twice — same trade as
+    # dup_span_stats (no exchange reuse across a nondeterministic UDF)
+    from pyspark import StorageLevel
+
+    pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
     occ = pos.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup_start = pos.join(
         occ.where(F.col("occ") > 1).select("h"), "h", "left_semi"
@@ -207,9 +213,11 @@ def dup_span_removal(
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("i")
+    # least() skips NULLs, so the last dup start (lead = NULL) already
+    # yields k — no coalesce needed
     seg = F.least(F.lit(k).cast("long"), F.lead("i").over(w) - F.col("i"))
     removed = (
-        dup_start.select("doc_id", F.coalesce(seg, F.lit(k)).alias("seg"))
+        dup_start.select("doc_id", seg.alias("seg"))
         .groupBy("doc_id")
         .agg(F.sum("seg").alias("n_removed"))
     )

@@ -115,3 +115,42 @@ def test_range_join_rejects_collision(spark):
 
     with _pytest.raises(ValueError):
         range_join(df, df, "t", "lo", "hi", 10)
+
+
+def test_asof_carries_whole_snapshot_not_per_column(spark):
+    # the latest snapshot wins WHOLESALE: its NULL field stays NULL
+    # (never resurrect an older snapshot's value), and multi-column
+    # output never mixes two snapshots
+    left = spark.createDataFrame([(1, 1, 25)], "event_id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 100, 5), (1, 20, None, 7)],
+        "k long, t long, price long, qty long",
+    )
+    r = asof_join(left, right, ["k"], "t", ["price", "qty"]).collect()[0]
+    assert r["price"] is None and r["qty"] == 7
+
+
+def test_asof_null_keys_and_times_match_nothing(spark):
+    left = spark.createDataFrame(
+        [(1, None, 50), (2, 1, None), (3, 1, 50)],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(None, 10, 111), (1, None, 222), (1, 40, 333)],
+        "k long, t long, snap long",
+    )
+    out = {r["event_id"]: r["snap"] for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()}
+    # NULL-key left row and NULL-time left row match nothing; the
+    # NULL-key / NULL-time snapshots are dropped entirely
+    assert out == {1: None, 2: None, 3: 333}
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    from logparser_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, 5)], "event_id long, t long")
+    right = spark.createDataFrame(
+        [(9, 1_700_000_000, 0), (8, 0, 10)], "iv long, lo long, hi long"
+    )
+    rows = range_join(left, right, "t", "lo", "hi", 3600).collect()
+    assert [(r["event_id"], r["iv"]) for r in rows] == [(1, 8)]
