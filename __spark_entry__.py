@@ -35,6 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _utc(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # release intermediates the PREVIOUS query persisted (the
+            # driver has materialized its result by now) so a 50-query
+            # sweep never accumulates disk-spilled cache blocks
+            from logparser_spark.operators.util import release_persisted
+
+            release_persisted()
             return fn(spark, sf_dir)
 
         return wrapped

@@ -501,7 +501,10 @@ def q_asof(spark, sf_dir):
     """Point-in-time enrichment: every event picks up the latest
     snapshot (every-101st event, deduped per (key, time)) at or before
     its timestamp — union + ordered carry-forward; oracle is DuckDB's
-    native ASOF LEFT JOIN."""
+    native ASOF LEFT JOIN. Runs the skew-safe two-phase plan
+    (time_bucket = 1 day) so the driver oracle pins the at-scale path:
+    only 8 synthetic keys here, and with a key-only window each would
+    funnel an eighth of the corpus through one task at 100x."""
     from logparser_spark.operators.asof import asof_join
 
     ev = events(spark, sf_dir)
@@ -514,7 +517,7 @@ def q_asof(spark, sf_dir):
         .distinct()
         .withColumn("snap", (F.col("t") * 31 + F.col("k")) % F.lit(1000003))
     )
-    return asof_join(left, snaps, ["k"], "t", ["snap"])
+    return asof_join(left, snaps, ["k"], "t", ["snap"], time_bucket=86_400)
 
 
 def _asof_oracle() -> str:

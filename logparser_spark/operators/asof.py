@@ -19,14 +19,23 @@ union + ordered carry-forward pattern:
 3. ``last(payload, ignorenulls=True)`` carries each snapshot forward to
    every following left row in the same key.
 
-Scale: the single shuffle is the window's hash partition on the key;
-parallelism = key cardinality (fine for real dimension keys: users,
-entities, symbols). For a KEYLESS as-of, range-partition on time and
-carry partition-boundary snapshots via a second tiny pass instead —
-not implemented here because every reference-shaped use is keyed.
+Scale: with ``time_bucket=None`` the single shuffle is the window's
+hash partition on the key; parallelism = key cardinality (fine for
+real dimension keys: users, entities, symbols). One HOT key (a
+null-ish default user, a dominant source) would serialize that key's
+whole event stream through a single task — pass ``time_bucket`` to
+switch to the skew-safe two-phase plan: phase 1 windows within
+(key, time div bucket) so a hot key spreads across its time range;
+phase 2 carries bucket-boundary snapshots (ONE row per (key, bucket))
+forward per key — the same two-phase shape as
+``sampling.shard_assign``/``packing._with_global_offsets``. A keyless
+as-of is the same mechanism with an empty key list's worth of
+bucketing (not exposed; every reference-shaped use is keyed).
 Reference parity: none (the reference has only equi-joins,
 DatabaseManager.java joins); §2-extension op. Oracle: DuckDB's native
-ASOF LEFT JOIN reproduces the semantics exactly.
+ASOF LEFT JOIN reproduces the semantics exactly (identical for both
+plans — the bucketed path is a pure re-partitioning of the same
+computation).
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ def asof_join(
     key_cols: list[str],
     time_col: str,
     value_cols: list[str],
+    time_bucket: int | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns plus, for each value col, the
     right side's value at the latest right.time <= left.time with equal
@@ -56,11 +66,16 @@ def asof_join(
     never mix two snapshots); right rows with a NULL key or NULL time
     are dropped up front (NULL comparisons match nothing in SQL), and a
     left row with NULL time sorts before every snapshot, yielding NULLs.
+
+    ``time_bucket`` (positive int; integral time domains) enables the
+    hot-key-safe two-phase plan — identical results, but no single task
+    ever holds more than one (key, time-bucket) slice. Pick the bucket
+    so a hot key's densest bucket fits a task (e.g. an hour of events).
     """
     overlap = [c for c in left.columns if c in value_cols]
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}")
-    for internal in ("__side", "__snap"):
+    for internal in ("__side", "__snap", "__tb", "__carry"):
         if internal in left.columns or internal in right.columns:
             raise ValueError(f"reserved column name in input: {internal}")
     l_tag = left.withColumn("__side", F.lit(1))
@@ -77,16 +92,73 @@ def asof_join(
         F.struct(*value_cols).alias("__snap"),
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn("__snap", F.last("__snap", ignorenulls=True).over(w))
+    order = [F.col(time_col).asc(), F.col("__side").asc()]
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("__snap", F.last("__snap", ignorenulls=True).over(w))
+    else:
+        time_bucket = int(time_bucket)
+        if time_bucket <= 0:
+            raise ValueError("time_bucket must be a positive integer")
+        # integer div (not float floor) so bucketing stays exact past
+        # 2^53 — same reasoning as range_join below
+        tb = F.expr(f"CAST(`{time_col}` AS BIGINT) div {time_bucket}")
+        u = u.withColumn("__tb", tb)
+        # phase 1: carry WITHIN each (key, bucket) slice — a hot key's
+        # stream splits across its time buckets instead of one reducer
+        w1 = (
+            Window.partitionBy(*key_cols, "__tb")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        partial = F.last("__snap", ignorenulls=True).over(w1)
+        # phase 2 (tiny): per (key, bucket), the bucket's LAST snapshot
+        # (latest right time; max_by ties are the documented duplicate-
+        # snapshot ambiguity) ...
+        bnd = (
+            u.where(F.col("__side") == 0)
+            .groupBy(*key_cols, "__tb")
+            .agg(F.max_by("__snap", F.col(time_col)).alias("__bsnap"))
+        )
+        # ... spread over every (key, bucket) present on EITHER side
+        # (left-only buckets still need a carry-in), then carried
+        # forward per key over one-row-per-bucket data — the per-key
+        # window is bounded by the bucket count, never the row count.
+        grid = (
+            u.where(F.col("__tb").isNotNull())
+            .select(*key_cols, "__tb")
+            .distinct()
+            .join(bnd, [*key_cols, "__tb"], "left")
+        )
+        w2 = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__tb").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = grid.select(
+            *key_cols,
+            "__tb",
+            F.last("__bsnap", ignorenulls=True).over(w2).alias("__carry"),
+        )
+        # NULL-time left rows have a NULL bucket: the equi-join misses
+        # (carry NULL) and their (key, NULL) window slice holds no
+        # snapshots — exactly the single-window semantics.
+        u = u.withColumn("__snap", partial).join(
+            carry, [*key_cols, "__tb"], "left"
+        )
+        u = u.withColumn("__snap", F.coalesce("__snap", "__carry")).drop(
+            "__tb", "__carry"
+        )
     out = u.where(F.col("__side") == 1)
     for v in value_cols:
         out = out.withColumn(v, F.col("__snap")[v])
-    return out.drop("__side", "__snap")
+    # explicit projection: the bucketed path's equi-join moved its join
+    # keys to the front; both plans must present the same schema
+    return out.select(*left.columns, *value_cols)
 
 
 def range_join(
@@ -113,24 +185,32 @@ def range_join(
     Inverted intervals (hi < lo) match nothing, exactly like SQL
     BETWEEN — filtered before the explode, where sequence() would
     otherwise count DOWN and blow up on a corrupt row.
+
+    Bucket ids use integer ``div``, never float division: Spark's ``/``
+    promotes to double, so int64 time domains past 2^53 (nanosecond
+    epochs ~1.7e18) would round the point side and the interval side
+    independently and silently drop matching pairs. ``div`` truncates
+    toward zero — monotonic non-decreasing, so the one-bucket-meeting
+    invariant (point's bucket ∈ [lo bucket, hi bucket]) still holds for
+    any sign.
     """
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"left/right column collision: {sorted(overlap)}")
     if "__b" in left.columns or "__b" in right.columns:
         raise ValueError("reserved column name in input: __b")
+    bucket = int(bucket)
+    if bucket <= 0:
+        raise ValueError("bucket must be a positive integer")
+
+    def _div(col: str):
+        return F.expr(f"CAST(`{col}` AS BIGINT) div {bucket}")
+
     right = right.where(F.col(lo_col) <= F.col(hi_col))
-    lb = left.withColumn(
-        "__b", F.floor(F.col(t_col) / bucket).cast("long")
-    )
+    lb = left.withColumn("__b", _div(t_col))
     rb = right.withColumn(
         "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket).cast("long"),
-                F.floor(F.col(hi_col) / bucket).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(_div(lo_col), _div(hi_col))),
     )
     return (
         lb.join(rb, "__b")

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -81,7 +80,9 @@ def _with_global_offsets(
     )
     handle = None
     if persist:
-        loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
+        from logparser_spark.operators.util import track_persist
+
+        loc = track_persist(loc)  # released by the harness between queries
         handle = loc
     totals = {
         r["pid"]: r["tot"]

@@ -74,13 +74,20 @@ def mix_sample_oracle_where(
 ) -> str:
     """The WHERE body reproducing hash_mix_sample in DuckDB SQL."""
     h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 4)"
+
+    def lit(s: str) -> str:
+        # one quoting scheme everywhere: standard SQL single-quote
+        # doubling (repr() would emit python-flavored escapes that are
+        # not valid SQL for quotes/non-ASCII)
+        return "'" + s.replace("'", "''") + "'"
+
     parts = []
     for g, rate in sorted(rates.items()):
         thr = rate_to_hex_threshold(rate)
-        cond = f"{group_col} = '{g}'"
+        cond = f"{group_col} = {lit(g)}"
         parts.append(cond if thr is None else f"({cond} AND {h} < '{thr}')")
     dthr = rate_to_hex_threshold(default_rate)
-    others = f"({group_col} IS NULL OR {group_col} NOT IN ({', '.join(repr(g) for g in sorted(rates))}))"
+    others = f"({group_col} IS NULL OR {group_col} NOT IN ({', '.join(lit(g) for g in sorted(rates))}))"
     parts.append(others if dthr is None else f"({others} AND {h} < '{dthr}')")
     return " OR ".join(parts)
 
@@ -220,7 +227,7 @@ def shard_assign(
     """
     import numpy as np
     import pandas as pd
-    from pyspark import StorageLevel, TaskContext
+    from pyspark import TaskContext
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"),
@@ -266,9 +273,13 @@ def shard_assign(
             )
 
     id_t = df.schema[id_col].dataType.simpleString()
-    loc = ranged.mapInPandas(
-        local_ranks, f"doc_id {id_t}, shard int, pid int, local_rank long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from logparser_spark.operators.util import track_persist
+
+    loc = track_persist(
+        ranged.mapInPandas(
+            local_ranks, f"doc_id {id_t}, shard int, pid int, local_rank long"
+        )
+    )
     counts = loc.groupBy("pid", "shard").count().collect()
     by_shard: dict[int, list[tuple[int, int]]] = {}
     for r in counts:

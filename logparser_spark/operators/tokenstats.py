@@ -148,9 +148,11 @@ def dup_span_stats(
         # 16-byte (doc_id, h) rows once is the standard
         # substring-dedup shape: storage ~2x the token payload,
         # disk-spilling, vs re-reading + re-hashing the corpus.
-        from pyspark import StorageLevel
+        # Tracked so harnesses can release it between queries (spilled
+        # blocks never age out on their own).
+        from logparser_spark.operators.util import track_persist
 
-        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+        pos = track_persist(pos)
     occ = (
         pos.where(F.col("h").isNotNull())
         .groupBy("h")
@@ -202,10 +204,11 @@ def dup_span_removal(
     )
     # pos feeds two consumers (the occ groupBy and the semi-join probe);
     # persist or the tokenize+hash kernel runs twice — same trade as
-    # dup_span_stats (no exchange reuse across a nondeterministic UDF)
-    from pyspark import StorageLevel
+    # dup_span_stats (no exchange reuse across a nondeterministic UDF);
+    # tracked for between-query release by the harness
+    from logparser_spark.operators.util import track_persist
 
-    pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    pos = track_persist(pos)
     occ = pos.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup_start = pos.join(
         occ.where(F.col("occ") > 1).select("h"), "h", "left_semi"

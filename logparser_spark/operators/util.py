@@ -2,7 +2,44 @@
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# Persisted intermediates registered by operators that must cache a
+# frame feeding two consumers (dup-span positions, shard ranks, packing
+# offsets). A long-lived session running many such queries — the
+# 49-query bench sweep, the driver's correctness sweep — would otherwise
+# accumulate cached blocks forever: disk-spilled blocks are NOT
+# reclaimed by memory-pressure eviction, only by an explicit unpersist
+# or session end. Operators register via ``track_persist``; harness
+# layers call ``release_persisted`` between queries (after the previous
+# query's action has materialized its result).
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """persist() + register the handle for a later bulk release."""
+    out = df.persist(level)
+    _TRACKED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate (non-blocking); returns the
+    count released. Safe to call at any time — unpersisting a frame
+    whose consumer has not run yet merely costs a recompute, never a
+    wrong answer (all tracked kernels are value-deterministic)."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -57,6 +57,13 @@ class ProgressReporter:
         self.interval_sec = interval_sec
         self.description = description
         self.path = os.path.join(out_root, "progress.jsonl")
+        # the file is append-only across runs into the same out_root, so
+        # every record carries a per-run id + wall-clock start — without
+        # it, two runs' t_sec timelines interleave ambiguously
+        import uuid
+
+        self.run_id = uuid.uuid4().hex[:12]
+        self.started_at = time.time()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._t0 = 0.0
@@ -145,6 +152,8 @@ class ProgressReporter:
                 }
             )
         return {
+            "run_id": self.run_id,
+            "started_at": round(self.started_at, 3),
             "t_sec": round(time.monotonic() - self._t0, 3),
             "job_group": self.job_group,
             **({"final": True} if final else {}),

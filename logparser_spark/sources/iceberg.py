@@ -51,11 +51,13 @@ SNAPSHOT_CHUNK_PROP = "pipeline.chunk-id"
 # bug or an injection attempt, and failing loudly beats quoting.
 import re as _re
 
-_SAFE_ID_RX = _re.compile(r"^[A-Za-z0-9_\-.]+$")
+# \Z, not $: $ also matches before a trailing newline, so
+# 'chunk-00042\n' would slip an embedded newline into interpolated SQL
+_SAFE_ID_RX = _re.compile(r"[A-Za-z0-9_\-.]+\Z")
 
 
 def _check_sql_identifier(value: str, what: str) -> str:
-    if not _SAFE_ID_RX.match(value or ""):
+    if not _SAFE_ID_RX.fullmatch(value or ""):
         raise ValueError(
             f"{what} {value!r} contains characters outside [A-Za-z0-9_-.] "
             "and cannot be safely interpolated into SQL"

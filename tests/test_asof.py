@@ -65,6 +65,87 @@ def test_asof_preserves_left_rows_and_schema(spark):
     assert out.where("payload = 'x3'").count() == 1
 
 
+def test_asof_bucketed_equals_single_window(spark):
+    """Skew-safe two-phase plan is a pure re-partitioning: identical
+    results at every bucket width, including widths smaller than snapshot
+    gaps (carry-in crosses many empty buckets) and a 90%-hot key."""
+    rng = random.Random(41)
+    # key 7 is hot: 90% of events
+    left_rows = [
+        (i, 7 if rng.random() < 0.9 else rng.randrange(4), rng.randrange(1000))
+        for i in range(500)
+    ]
+    snap_kt = {(rng.randrange(8), rng.randrange(1000)) for _ in range(50)}
+    right_rows = [(k, t, 1000 * k + t) for k, t in snap_kt]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, snap long")
+    base = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()
+    }
+    for bucket in (7, 100, 5000):
+        got = {
+            r["event_id"]: r["snap"]
+            for r in asof_join(
+                left, right, ["k"], "t", ["snap"], time_bucket=bucket
+            ).collect()
+        }
+        assert got == base, bucket
+
+
+def test_asof_bucketed_null_edges(spark):
+    left = spark.createDataFrame(
+        [(1, None, 50), (2, 1, None), (3, 1, 50), (4, 1, 5)],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(None, 10, 111), (1, None, 222), (1, 40, 333)],
+        "k long, t long, snap long",
+    )
+    out = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["snap"], time_bucket=8
+        ).collect()
+    }
+    assert out == {1: None, 2: None, 3: 333, 4: None}
+
+
+def test_asof_bucketed_no_single_key_funnel(spark):
+    """The data-sized window must partition by (key, bucket), never by
+    key alone — that's the whole point of the skew-safe plan."""
+    left = spark.createDataFrame([(1, 1, 25)], "event_id long, k long, t long")
+    right = spark.createDataFrame([(1, 10, 100)], "k long, t long, snap long")
+    out = asof_join(left, right, ["k"], "t", ["snap"], time_bucket=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window that runs over the unioned DATA (orders by the time
+    # column) must include __tb in its partition spec; the only window
+    # partitioned by the key alone is phase 2's, which orders by __tb
+    # and carries one row per (key, bucket)
+    windows = re.findall(r"Window \[.*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert windows, plan
+    saw_data_window = False
+    for part, order in windows:
+        if "t#" in order:
+            saw_data_window = True
+            assert "__tb#" in part, plan
+        else:
+            assert "__tb#" in order, plan  # phase-2 carry window
+    assert saw_data_window, plan
+
+
+def test_asof_bucketed_schema_matches_default(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 25, "p")], "event_id long, k long, t long, payload string"
+    )
+    right = spark.createDataFrame([(1, 10, 100)], "k long, t long, snap long")
+    a = asof_join(left, right, ["k"], "t", ["snap"])
+    b = asof_join(left, right, ["k"], "t", ["snap"], time_bucket=3600)
+    assert a.columns == b.columns == ["event_id", "k", "t", "payload", "snap"]
+
+
 # ------------------------------------------------------------ range join
 
 
