@@ -395,6 +395,7 @@ def semantic_dedup(
     seed: int = 42,
     train_sample: int = 10_000,
     train_iters: int = 5,
+    pair_block_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate removal (Abbas et al.
     2023, arXiv:2303.09540): spherical k-means clusters the embedding
@@ -412,14 +413,19 @@ def semantic_dedup(
     Scale plan: centroids train on a seeded hash-ordered sample
     (driver-side, tiny), assignment is one argmax-matmul per Arrow
     batch (pure map), and the only shuffle is the groupBy(cluster) of
-    (id, vector) rows. Per-cluster memory is O((N/n_lists) * dim +
-    pair count) — size n_lists so a cluster fits an executor (SemDeDup
-    used 50k clusters for LAION-scale); a skew-heavy cluster calls for
-    more lists, not a bigger executor. Deterministic end to end (seeded
-    sample, seeded init, fixed iteration count), so the result is
-    golden-pinnable; no SQL oracle (float centroids are not
-    SQL-reproducible).
+    (id, vector) rows. Per-cluster memory is the cluster's OWN matrix
+    (c x dim doubles) plus one ``pair_block_rows x c`` similarity tile:
+    the pairwise pass is row-block-tiled (never the full c x c matrix)
+    and union-find folds each tile's edges immediately, so a SKEWED
+    cluster — embeddings collapsing into one cell — degrades to more
+    tiles, not an OOM. Size n_lists so a cluster's matrix fits an
+    executor (SemDeDup used 50k clusters for LAION-scale). Deterministic
+    end to end (seeded sample, seeded init, fixed iteration count), so
+    the result is golden-pinnable and independent of pair_block_rows;
+    no SQL oracle (float centroids are not SQL-reproducible).
     """
+    if pair_block_rows <= 0:
+        raise ValueError("pair_block_rows must be positive")
     cents = _train_centroids(
         emb, n_lists, vec_col, seed, train_sample, train_iters, id_col=id_col
     )
@@ -440,8 +446,6 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         _unit_rows(m)
-        sims = m @ m.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
         parent = np.arange(len(ids))
 
         def find(a: int) -> int:
@@ -450,11 +454,25 @@ def semantic_dedup(
                 a = parent[a]
             return a
 
-        for a, b in zip(ii, jj):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                # union by smaller index == smaller id (ids sorted asc)
-                parent[max(ra, rb)] = min(ra, rb)
+        def union_edges(ii, jj):
+            for a, b in zip(ii, jj):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    # union by smaller index == smaller id (sorted asc)
+                    parent[max(ra, rb)] = min(ra, rb)
+
+        # tile the pairwise pass: peak extra memory is one
+        # (pair_block_rows x c) tile, never the c x c matrix — a skewed
+        # cluster costs more tiles, not an OOM. Edges fold into the
+        # union-find per tile, so nothing pair-shaped accumulates.
+        for lo in range(0, len(ids), pair_block_rows):
+            hi = min(lo + pair_block_rows, len(ids))
+            sims = m[lo:hi] @ m.T  # (tile, c)
+            hit = sims >= threshold
+            # keep only row < col (upper triangle of the full matrix)
+            ii, jj = np.nonzero(hit)
+            keep = (ii + lo) < jj
+            union_edges(ii[keep] + lo, jj[keep])
         roots = np.fromiter((find(int(i)) for i in range(len(ids))), dtype=np.int64)
         keeper = ids[roots]  # root index is the component's min id
         return pd.DataFrame(

@@ -141,3 +141,59 @@ def test_semantic_dedup_partitioning_invariant(spark):
     ra = sorted(map(tuple, sim.semantic_dedup(a, 0.8, n_lists=5).collect()))
     rb = sorted(map(tuple, sim.semantic_dedup(b, 0.8, n_lists=5).collect()))
     assert ra == rb
+
+
+def test_semantic_dedup_skewed_cluster_bounded_tiles(spark):
+    """Pathological skew: every vector points the same way, so k-means
+    collapses ALL rows into one cell. With pair_block_rows far below the
+    cluster size the pairwise pass runs in (tile x c) slices — the
+    result must match the untiled plan exactly (one component, min-id
+    keeper), proving the memory bound costs no correctness."""
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=8)
+    rows = [
+        (int(i), (base * float(1.0 + 0.001 * (i % 7))).tolist())
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tiled = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                df, 0.99, n_lists=4, train_sample=100, pair_block_rows=7
+            ).collect(),
+        )
+    )
+    untiled = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                df, 0.99, n_lists=4, train_sample=100, pair_block_rows=10**9
+            ).collect(),
+        )
+    )
+    assert tiled == untiled
+    # all scaled copies of one direction: a single component, keeper 0
+    assert all(t[2] == 0 for t in tiled)  # keeper_id column
+    assert sum(t[3] for t in tiled) == 1  # exactly one keeper
+
+
+def test_semantic_dedup_mixed_clusters_tile_invariant(spark):
+    """Random data: tiling must not change components for any tile size
+    (edges are identical; only the union order differs, and min-root
+    union is order-independent for connected components)."""
+    rng = np.random.default_rng(23)
+    rows = [(int(i), rng.normal(size=8).tolist()) for i in range(180)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    outs = [
+        sorted(
+            map(
+                tuple,
+                sim.semantic_dedup(
+                    df, 0.8, n_lists=5, pair_block_rows=b
+                ).collect(),
+            )
+        )
+        for b in (3, 64, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2]
