@@ -46,38 +46,31 @@ BENCH_QUERIES = [
     "parsed_rows",
     "enriched_rows",
     "sink_totals",
-    "status_hist",
-    "hourly_hist",
+    "histograms",
     "top_urls",
     "top_users",
     "page_query",
+    "page_after",
     "keep_latest",
     "daily_rollup",
-    "dim_statuses",
-    "dim_actions",
+    "dims",
     "dataset_period",
     "asof_enrich",
     "interval_join",
     "dedup_exact",
     "minhash_lsh",
     "near_dup_clusters",
-    "simhash",
+    "doc_signatures",
     "simhash_near_dup",
     "embed_near_dup",
     "semantic_dedup",
-    "text_quality",
-    "token_counts",
+    "doc_stats",
     "ngram_vocab",
-    "lang_id",
-    "fingerprint",
     "ann_brute",
-    "ann_lsh",
-    "ann_ivf",
-    "media_stats",
-    "media_decode",
+    "ann_approx",
+    "media_profile",
     "frame_sample",
-    "dup_spans",
-    "dup_removal",
+    "dup_span_report",
     "token_repetition",
     "token_len_quantiles",
     "pack_chunks",

@@ -117,6 +117,39 @@ class LogPipelineAPI:
             .limit(size)
         )
 
+    def get_logs_after(
+        self,
+        last_time,
+        last_doc_id,
+        flt: LogFilter | None = None,
+        size: int = 50,
+    ) -> DataFrame:
+        """Keyset pagination — the at-scale alternative to
+        LIMIT/OFFSET (SURVEY §2.6 O1): resume strictly after the cursor
+        (last_time, last_doc_id) in (time DESC, doc_id ASC) order.
+
+        OFFSET pagination scans + sorts the full prefix on every page
+        (page 10^6 of a 100 TB table reads half the table); the tuple
+        predicate here pushes into the scan, so every page costs one
+        pruned scan + top-``size``, independent of page depth. Page 1 =
+        ``get_logs``; subsequent pages feed the previous page's last row
+        back as the cursor. Equality with OFFSET paging over a full
+        sweep is pinned in tests.
+        """
+        df = self._facts(flt)
+        after = (F.col("time") < F.lit(last_time)) | (
+            (F.col("time") == F.lit(last_time)) & (F.col("doc_id") > last_doc_id)
+        )
+        return (
+            df.filter(after)
+            .select(
+                "doc_id", "time", "ip", "username", "url", "domain",
+                "status_code", "response_time_ms", "response_size_bytes", "action",
+            )
+            .orderBy(F.desc("time"), F.asc("doc_id"))
+            .limit(size)
+        )
+
     def count_pages(self, flt: LogFilter | None = None, size: int = 50) -> int:
         import math
 

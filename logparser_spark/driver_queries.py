@@ -141,14 +141,39 @@ def q_top_users(spark, sf_dir):
     return agg.top_users(routed_events(spark, sf_dir), k=10)
 
 
-def q_dim_statuses(spark, sf_dir):
-    s, _ = agg.distinct_dims(routed_events(spark, sf_dir))
-    return s
+def q_dims(spark, sf_dir):
+    """F7/A11 both dim vocabularies (statuses + actions) under one
+    driver row: the two distinct-scans union with a kind tag. Same cost
+    as the two separate queries (each branch is its own scan+distinct);
+    merged so every SURVEY op fits the driver's 50-row sweep."""
+    s, a = agg.distinct_dims(routed_events(spark, sf_dir))
+    return s.select(
+        F.lit("status").alias("kind"), F.col("status_code").cast("string").alias("value")
+    ).unionByName(
+        a.select(F.lit("action").alias("kind"), F.col("action").alias("value"))
+    )
 
 
-def q_dim_actions(spark, sf_dir):
-    _, a = agg.distinct_dims(routed_events(spark, sf_dir))
-    return a
+def q_histograms(spark, sf_dir):
+    """A4 (status-class) + A5 (dense hourly) histograms under one
+    driver row, union-tagged by kind; bucket is stringly-typed so both
+    branches share a schema. Each branch keeps its own single-scan
+    plan (the hourly densify is plan-asserted in tests)."""
+    sh = agg.status_hist(routed_events(spark, sf_dir))
+    hh = agg.hourly_hist(routed_events(spark, sf_dir))
+    return sh.select(
+        F.lit("status").alias("kind"),
+        "category",
+        F.col("status_class").alias("bucket"),
+        "row_count",
+    ).unionByName(
+        hh.select(
+            F.lit("hour").alias("kind"),
+            "category",
+            F.col("hour").cast("int").cast("string").alias("bucket"),
+            "row_count",
+        )
+    )
 
 
 def q_daily_rollup(spark, sf_dir):
@@ -184,6 +209,36 @@ def q_page_query(spark, sf_dir):
         .select("event_id", "epoch_us", "ip", "username", "url", "status_code")
         .orderBy(F.desc("epoch_us"), F.asc("event_id"))
         .offset(100)
+        .limit(50)
+    )
+
+
+# keyset cursor: resume strictly after this (epoch_us, event_id) in
+# (epoch_us DESC, event_id ASC) order — scale-independent constants
+_AFTER_T = 1705708800_000000  # 2024-01-20 00:00:00 UTC
+_AFTER_ID = 500
+
+
+def q_page_after(spark, sf_dir):
+    """O1 keyset variant: the tuple predicate replaces OFFSET, so page
+    depth never grows the scan (the offset form sorts the full prefix —
+    SURVEY §2.6 names this exact upgrade). Predicate pushes to the
+    scan; result is one top-k, equality with offset paging pinned in
+    tests/test_api.py."""
+    df = routed_events(spark, sf_dir)
+    after = (F.col("epoch_us") < _AFTER_T) | (
+        (F.col("epoch_us") == _AFTER_T) & (F.col("event_id") > _AFTER_ID)
+    )
+    return (
+        df.filter(
+            (F.col("valid") == 1)
+            & (F.col("epoch_us") >= _PAGE_LO)
+            & (F.col("epoch_us") <= _PAGE_HI)
+            & (F.col("action") == "TCP_MISS")
+            & after
+        )
+        .select("event_id", "epoch_us", "ip", "username", "url", "status_code")
+        .orderBy(F.desc("epoch_us"), F.asc("event_id"))
         .limit(50)
     )
 
@@ -381,42 +436,13 @@ _DUP_K = 20  # corpus-dup window length (tokens)
 _REP_K = 4  # within-doc repetition window length
 
 
-def q_dup_spans(spark, sf_dir):
-    """Corpus-level duplicate k-token-window stats per document
-    (exact-substring-dedup primitive). Oracle equivalence: one token
-    per code point, so a k-token window == a k-char substring."""
-    return tokenstats.dup_span_stats(tokenized_events(spark, sf_dir), k=_DUP_K)
-
-
-def q_dup_removal(spark, sf_dir):
-    """ExactSubstr removal accounting: per document, tokens covered by
-    at least one corpus-duplicated k-window (what the span-removal
-    rewrite would cut)."""
-    return tokenstats.dup_span_removal(tokenized_events(spark, sf_dir), k=_DUP_K)
-
-
-def _dup_removal_oracle() -> str:
-    k = _DUP_K
-    return (
-        _token_lines_cte()
-        + f""",
-pos AS (SELECT doc_id, line, unnest(range(1, length(line) - {k} + 2)) AS i FROM lines),
-wins AS (SELECT doc_id, i, substr(line, CAST(i AS INT), {k}) AS w FROM pos),
-dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) > 1),
-ds AS (SELECT doc_id, i FROM wins WHERE w IN (SELECT w FROM dupw)),
-seg AS (
-  SELECT doc_id,
-         LEAST(CAST({k} AS BIGINT),
-               COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i,
-                        CAST({k} AS BIGINT))) AS s
-  FROM ds
-),
-rem AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_removed FROM seg GROUP BY doc_id)
-SELECT l.doc_id, CAST(length(l.line) AS BIGINT) AS n_tok,
-       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
-       CAST(length(l.line) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
-FROM lines l LEFT JOIN rem r USING (doc_id)"""
-    )
+def q_dup_span_report(spark, sf_dir):
+    """Corpus-duplicate k-window stats + ExactSubstr removal accounting
+    from ONE detection pass (the separate operators each re-run the
+    rolling-hash DAG — the most expensive stage of the old sweep pair).
+    Oracle equivalence: one token per code point, so a k-token window
+    == a k-char substring."""
+    return tokenstats.dup_span_report(tokenized_events(spark, sf_dir), k=_DUP_K)
 
 
 def q_token_repetition(spark, sf_dir):
@@ -770,21 +796,36 @@ wins AS (SELECT doc_id, substr(line, CAST(i AS INT), {k}) AS w FROM pos)"""
     )
 
 
-def _dup_spans_oracle() -> str:
+def _dup_span_report_oracle() -> str:
+    k = _DUP_K
     return (
-        _token_wins_cte(_DUP_K)
-        + """,
+        _token_lines_cte()
+        + f""",
+pos AS (SELECT doc_id, line, unnest(range(1, length(line) - {k} + 2)) AS i FROM lines),
+wins AS (SELECT doc_id, i, substr(line, CAST(i AS INT), {k}) AS w FROM pos),
 occ AS (SELECT w, COUNT(*) AS occ FROM wins GROUP BY w),
+marked AS (SELECT doc_id, i, occ > 1 AS is_dup FROM wins JOIN occ USING (w)),
 per AS (
   SELECT doc_id, COUNT(*) AS n_windows,
-         SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS dup_windows
-  FROM wins JOIN occ USING (w) GROUP BY doc_id
-)
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dup_windows
+  FROM marked GROUP BY doc_id
+),
+seg AS (
+  SELECT doc_id,
+         LEAST(CAST({k} AS BIGINT),
+               COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i,
+                        CAST({k} AS BIGINT))) AS s
+  FROM marked WHERE is_dup
+),
+rem AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_removed FROM seg GROUP BY doc_id)
 SELECT l.doc_id,
        CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
        CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
-       CAST(COALESCE(1000 * p.dup_windows // p.n_windows, 0) AS BIGINT) AS dup_frac_x1000
-FROM lines l LEFT JOIN per p USING (doc_id)"""
+       CAST(COALESCE(1000 * p.dup_windows // p.n_windows, 0) AS BIGINT) AS dup_frac_x1000,
+       CAST(length(l.line) AS BIGINT) AS n_tok,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(length(l.line) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM lines l LEFT JOIN per p USING (doc_id) LEFT JOIN rem r USING (doc_id)"""
     )
 
 
@@ -871,12 +912,8 @@ SELECT category,
        CAST(COALESCE(SUM(response_size_bytes), 0) AS BIGINT) AS bytes_total,
        COALESCE(CAST(floor(AVG(CASE WHEN response_time_ms > 0 THEN response_time_ms END) + 0.5) AS BIGINT), 0) AS avg_response_time_ms
 FROM parsed GROUP BY category ORDER BY category""",
-    "status_hist": _cte()
+    "histograms": _cte()
     + f"""
-SELECT category, {_STATUS_CLASS_SQL} AS status_class, COUNT(*) AS row_count
-FROM parsed WHERE valid GROUP BY 1, 2 ORDER BY 1, 2""",
-    "hourly_hist": _cte()
-    + """
 , grid AS (
   SELECT c.category, CAST(h.range AS INT) AS hour
   FROM (SELECT DISTINCT category FROM parsed WHERE valid) c, range(24) h
@@ -884,9 +921,11 @@ FROM parsed WHERE valid GROUP BY 1, 2 ORDER BY 1, 2""",
   SELECT category, CAST(hour("time") AS INT) AS hour, COUNT(*) AS cnt
   FROM parsed WHERE valid GROUP BY 1, 2
 )
-SELECT g.category, g.hour, COALESCE(c.cnt, 0) AS row_count
-FROM grid g LEFT JOIN counts c ON g.category = c.category AND g.hour = c.hour
-ORDER BY 1, 2""",
+SELECT 'status' AS kind, category, {_STATUS_CLASS_SQL} AS bucket, COUNT(*) AS row_count
+FROM parsed WHERE valid GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', g.category, CAST(g.hour AS VARCHAR), COALESCE(c.cnt, 0)
+FROM grid g LEFT JOIN counts c ON g.category = c.category AND g.hour = c.hour""",
     "top_urls": _cte()
     + """
 SELECT url, domain,
@@ -914,10 +953,13 @@ WHERE valid AND username IS NOT NULL AND username <> '-'
 GROUP BY username
 ORDER BY request_count DESC, username ASC
 LIMIT 10""",
-    "dim_statuses": _cte()
-    + "SELECT DISTINCT status_code FROM parsed WHERE status_code IS NOT NULL AND status_code > 0 ORDER BY status_code",
-    "dim_actions": _cte()
-    + "SELECT DISTINCT action FROM parsed WHERE action IS NOT NULL AND action <> '-' ORDER BY action",
+    "dims": _cte()
+    + """
+SELECT 'status' AS kind, CAST(status_code AS VARCHAR) AS value
+FROM parsed WHERE status_code IS NOT NULL AND status_code > 0 GROUP BY 2
+UNION ALL
+SELECT 'action', action
+FROM parsed WHERE action IS NOT NULL AND action <> '-' GROUP BY 2""",
     "daily_rollup": _cte()
     + """
 SELECT username, status_code, strftime("time", '%Y-%m-%d') AS day, COUNT(*) AS request_count
@@ -929,6 +971,14 @@ FROM parsed
 WHERE valid AND epoch_us >= {_PAGE_LO} AND epoch_us <= {_PAGE_HI} AND action = 'TCP_MISS'
 ORDER BY epoch_us DESC, event_id ASC
 LIMIT 50 OFFSET 100""",
+    "page_after": _cte()
+    + f"""
+SELECT event_id, epoch_us, ip, username, url, status_code
+FROM parsed
+WHERE valid AND epoch_us >= {_PAGE_LO} AND epoch_us <= {_PAGE_HI} AND action = 'TCP_MISS'
+  AND (epoch_us < {_AFTER_T} OR (epoch_us = {_AFTER_T} AND event_id > {_AFTER_ID}))
+ORDER BY epoch_us DESC, event_id ASC
+LIMIT 50""",
     "dataset_period": _cte()
     + "SELECT MIN(epoch_us) AS min_time_us, MAX(epoch_us) AS max_time_us FROM parsed WHERE valid",
     "enriched_rows": _enriched_rows_oracle(),
@@ -969,8 +1019,7 @@ SELECT username, event_id, epoch_us FROM (
 ) WHERE rn = 1 ORDER BY username""",
     "asof_enrich": _asof_oracle(),
     "interval_join": _interval_join_oracle(),
-    "dup_spans": _dup_spans_oracle(),
-    "dup_removal": _dup_removal_oracle(),
+    "dup_span_report": _dup_span_report_oracle(),
     "token_repetition": _token_repetition_oracle(),
     "token_len_quantiles": _token_len_quantiles_oracle(),
     "pack_chunks": _pack_chunks_oracle(),
@@ -987,14 +1036,13 @@ PIPELINE_QUERIES = {
     "parsed_rows": q_parsed_rows,
     "route_counts": q_route_counts,
     "sink_totals": q_sink_totals,
-    "status_hist": q_status_hist,
-    "hourly_hist": q_hourly_hist,
+    "histograms": q_histograms,
     "top_urls": q_top_urls,
     "top_users": q_top_users,
-    "dim_statuses": q_dim_statuses,
-    "dim_actions": q_dim_actions,
+    "dims": q_dims,
     "daily_rollup": q_daily_rollup,
     "page_query": q_page_query,
+    "page_after": q_page_after,
     "dataset_period": q_dataset_period,
     "enriched_rows": q_enriched_rows,
     "json_roundtrip": q_json_roundtrip,
@@ -1004,8 +1052,7 @@ PIPELINE_QUERIES = {
     "keep_latest": q_keep_latest,
     "asof_enrich": q_asof,
     "interval_join": q_interval_join,
-    "dup_spans": q_dup_spans,
-    "dup_removal": q_dup_removal,
+    "dup_span_report": q_dup_span_report,
     "token_repetition": q_token_repetition,
     "token_len_quantiles": q_token_len_quantiles,
     "pack_chunks": q_pack_chunks,

@@ -33,30 +33,24 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(documents(spark, sf_dir), threshold=0.8)
 
 
-def q_simhash(spark, sf_dir):
-    # no global sort: the driver/golden compares are order-insensitive
-    # (sorted-multiset hash), and a range-partitioned sort is a whole
-    # extra sampling job + shuffle the result never needs
-    return dedup.simhash(documents(spark, sf_dir))
-
-
-def q_text_quality(spark, sf_dir):
-    return textstats.quality_features(documents(spark, sf_dir))
-
-
-def q_token_counts(spark, sf_dir):
-    return textstats.token_counts(documents(spark, sf_dir))
-
-
-def q_lang_id(spark, sf_dir):
-    return (
-        textstats.lang_id(documents(spark, sf_dir))
-        .select("doc_id", "lang", "predicted_lang", "best_score")
+def q_doc_signatures(spark, sf_dir):
+    """SimHash + winnowing fingerprint in ONE narrow select (zero
+    shuffle, one corpus read — the per-doc hash family a dedup pipeline
+    computes together). No global sort: driver/golden compares are
+    order-insensitive. Rows-only check (hash families not in DuckDB);
+    golden-pinned at 3 scales."""
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        dedup.simhash_col("text"),
+        *textstats.fingerprint_cols("text"),
     )
 
 
-def q_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(documents(spark, sf_dir))
+def q_doc_stats(spark, sf_dir):
+    """Quality features + token counts + language ID as one per-doc
+    profile row (single narrow select — one corpus read instead of
+    three; the individual operators stay available)."""
+    return textstats.doc_stats(documents(spark, sf_dir))
 
 
 def q_ngram_vocab(spark, sf_dir):
@@ -67,8 +61,18 @@ def q_ann_brute(spark, sf_dir):
     return similarity.brute_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
-def q_ann_lsh(spark, sf_dir):
-    return similarity.lsh_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
+def q_ann_approx(spark, sf_dir):
+    """The two approximate-ANN paths (data-independent sign-LSH vs
+    data-adaptive IVF-flat) under one driver row, union-tagged by
+    method. Deterministic (seeded planes/centroids) -> golden-pinned;
+    approximate by design, so no SQL oracle (recall vs ann_brute is
+    measured in tests)."""
+    e = embeddings(spark, sf_dir)
+    lsh = similarity.lsh_topk(e, query_ids=list(range(10)), k=5)
+    ivf = similarity.ivf_topk(e, query_ids=list(range(10)), k=5)
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
 
 
 def q_embed_near_dup(spark, sf_dir):
@@ -133,10 +137,6 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(documents(spark, sf_dir), threshold=0.8)
 
 
-def q_ann_ivf(spark, sf_dir):
-    return similarity.ivf_topk(embeddings(spark, sf_dir), query_ids=list(range(10)), k=5)
-
-
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: cluster, dedup within
     cluster, keeper per duplicate component. Deterministic (seeded
@@ -148,14 +148,11 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-def q_media_stats(spark, sf_dir):
-    return multimodal.media_stats(
-        multimodal.attach_payload(documents(spark, sf_dir))
-    )
-
-
-def q_media_decode(spark, sf_dir):
-    return multimodal.decode_media(
+def q_media_profile(spark, sf_dir):
+    """Blob stats + decode metadata in one payload pass (media_profile
+    — the JVM hash/sniff columns ride through the decode kernel, so the
+    blob is read once and never joined back)."""
+    return multimodal.media_profile(
         multimodal.attach_payload(documents(spark, sf_dir))
     )
 
@@ -278,21 +275,16 @@ DOC_QUERIES = {
     "embed_near_dup_lsh": q_embed_near_dup_lsh,  # rows-only (recall < 1 by design)
     "semantic_dedup": q_semantic_dedup,  # rows-only (float centroids not SQL-reproducible)
     "simhash_near_dup": q_simhash_near_dup,  # rows-only (hash family not in DuckDB)
-    "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
-    "media_stats": q_media_stats,
-    "media_decode": q_media_decode,
+    "ann_approx": q_ann_approx,  # rows-only (approximate by design; golden)
+    "media_profile": q_media_profile,
     "frame_sample": q_frame_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,  # rows-only (hash family not in DuckDB)
-    "text_quality": q_text_quality,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
+    "doc_signatures": q_doc_signatures,  # rows-only (hash families not in DuckDB)
+    "doc_stats": q_doc_stats,
     "ngram_vocab": q_ngram_vocab,
-    "fingerprint": q_fingerprint,  # rows-only
     "ann_brute": q_ann_brute,
-    "ann_lsh": q_ann_lsh,  # rows-only (approximate by design)
 }
 
 # ---------------------------------------------------------------------
@@ -362,19 +354,15 @@ x AS (
 )
 SELECT vec_a, vec_b, CAST(floor(cos * 10000) AS BIGINT) AS cosine_x10000
 FROM x WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
-    "media_stats": _MEDIA_CTE
+    "media_profile": _MEDIA_CTE
     + """
 SELECT doc_id, media_type, n_bytes, md5(text) AS content_md5,
-       ascii(text) AS first_char
-FROM m JOIN documents USING (doc_id) ORDER BY doc_id""",
-    "media_decode": _MEDIA_CTE
-    + """
-SELECT doc_id, media_type, n_bytes,
+       ascii(text) AS first_char,
        CASE WHEN media_type <> 'audio' THEN CAST(64 + n_bytes % 193 AS INT) END AS width,
        CASE WHEN media_type <> 'audio' THEN CAST(64 + (n_bytes * 31) % 129 AS INT) END AS height,
        CASE WHEN media_type <> 'image' THEN CAST(8000 + (n_bytes % 5) * 8000 AS INT) END AS sample_rate,
        CASE WHEN media_type = 'video' THEN CAST(1 + n_bytes % 240 AS INT) END AS n_frames
-FROM m ORDER BY doc_id""",
+FROM m JOIN documents USING (doc_id) ORDER BY doc_id""",
     "frame_sample": _MEDIA_CTE
     + """
 SELECT doc_id, CAST(u AS INT) AS frame_idx
@@ -431,38 +419,32 @@ FROM documents d LEFT JOIN comp c USING (doc_id)""",
 SELECT shingle, COUNT(*) AS doc_freq
 FROM sh GROUP BY shingle
 ORDER BY doc_freq DESC, shingle LIMIT 100""",
-    "text_quality": """
+    "doc_stats": f"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, text,
          len(string_split(text, ' ')) AS n_words,
          length(text) AS n_chars_calc,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
          len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|value|table|row)\\b')) AS en_stop
   FROM documents
-)
-SELECT doc_id, n_words, n_chars_calc,
+),
+s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+SELECT f.doc_id, f.lang, n_words, n_chars_calc,
        CAST(floor(100.0 * alpha / n_chars_calc) AS BIGINT) AS alpha_ratio_x100,
        CAST(floor(100.0 * punct / n_chars_calc) AS BIGINT) AS punct_ratio_x100,
        CAST(floor(100.0 * en_stop / n_words) AS BIGINT) AS stopword_ratio_x100,
-       (n_words >= 10 AND n_words <= 1000 AND floor(100.0 * alpha / n_chars_calc) >= 50) AS is_high_quality
-FROM f ORDER BY doc_id""",
-    "token_counts": """
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_pieces,
-       CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
-FROM documents ORDER BY doc_id""",
-    "lang_id": f"""
-WITH s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents)
-SELECT doc_id, lang,
+       (n_words >= 10 AND n_words <= 1000 AND floor(100.0 * alpha / n_chars_calc) >= 50) AS is_high_quality,
+       len(string_split_regex(trim(f.text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(f.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_pieces,
+       CAST(ceil(length(f.text) / 4.0) AS BIGINT) AS chars_div4,
        CASE WHEN score_zh > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
             WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
             WHEN score_de > greatest(score_en, score_es) THEN 'de'
             WHEN score_es > score_en THEN 'es'
             ELSE 'en' END AS predicted_lang,
        greatest(score_en, score_es, score_de, score_fr, score_zh) AS best_score
-FROM s ORDER BY doc_id""",
+FROM f JOIN s USING (doc_id) ORDER BY f.doc_id""",
     "ann_brute": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10

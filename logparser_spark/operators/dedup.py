@@ -353,6 +353,14 @@ def _simhash_udf(hs: pd.Series) -> pd.Series:
     return pd.Series(packed)
 
 
+def simhash_col(text_col: str = "text"):
+    """The SimHash signature as a composable Column (JVM word-hash
+    array -> vectorized bit-vote kernel), for one-pass signature
+    profiles that fold several per-doc hashes into one select."""
+    hs = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
+    return _simhash_udf(hs).alias("simhash")
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens (per-bit majority vote of token
     xxhash64 values).

@@ -50,6 +50,26 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred).withColumn("best_score", best)
 
 
+def lang_pred_cols(text_col: str = "text") -> list:
+    """(predicted_lang, best_score) as composable Columns — the same
+    argmax-with-fixed-tie-priority as ``lang_id``, built inline so a
+    one-pass profile select needs no score_* intermediate columns."""
+    scores = {
+        lang: _stopword_count(F.col(text_col), words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    pred = None
+    best = None
+    for lang in LANG_PRIORITY:
+        s = scores[lang]
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return [pred.alias("predicted_lang"), best.alias("best_score")]
+
+
 def quality_gate_expr(text_col: str = "text"):
     """The boolean quality gate alone (word count in [10, 1000] and
     alpha ratio >= 50%) as a Column, for composition into filters
@@ -108,20 +128,60 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: min rolling-window hash of
-    word n-grams + full-text hash. Deterministic; used for fast
-    candidate blocking upstream of exact dedup."""
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: quality features + token counts +
+    language ID in a SINGLE narrow select (zero shuffle; all Catalyst
+    expressions fuse into the scan). This is how the three per-doc
+    analyses should ship at 100 TB — one read of the corpus, not three:
+    the operators stay available individually (``quality_features``,
+    ``token_counts``, ``lang_id``) but the driver query runs this
+    combined form.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    en_stop = _stopword_count(t, LANG_STOPWORDS["en"])
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    return df.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_calc"),
+        F.floor(F.lit(100.0) * alpha_chars / n_chars).cast("long").alias("alpha_ratio_x100"),
+        F.floor(F.lit(100.0) * punct_chars / n_chars).cast("long").alias("punct_ratio_x100"),
+        F.floor(F.lit(100.0) * en_stop / n_words).cast("long").alias("stopword_ratio_x100"),
+        quality_gate_expr(text_col).alias("is_high_quality"),
+        ws.alias("ws_tokens"),
+        bpe_pieces.alias("bpe_pieces"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("chars_div4"),
+        *lang_pred_cols(text_col),
+    )
+
+
+def fingerprint_cols(text_col: str = "text", window: int = 8) -> list:
+    """The fingerprint output as composable Columns (full-text hash +
+    min rolling-window hash), so one-pass profile queries can fold the
+    fingerprint into a wider select without a join."""
     w = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, window))),
     )
-    return df.select(
-        "doc_id",
+    return [
         F.xxhash64(F.col(text_col)).alias("full_hash"),
         F.array_min(grams).alias("min_window_hash"),
-    ).orderBy("doc_id")
+    ]
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling-window hash of
+    word n-grams + full-text hash. Deterministic; used for fast
+    candidate blocking upstream of exact dedup."""
+    return df.select("doc_id", *fingerprint_cols(text_col, window)).orderBy("doc_id")
 
 
 # PII-style redaction patterns — valid with identical semantics in both

@@ -235,6 +235,77 @@ def dup_span_removal(
     )
 
 
+def dup_span_report(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """``dup_span_stats`` + ``dup_span_removal`` from ONE detection
+    pass: per document, the corpus-duplicated k-window counts AND the
+    ExactSubstr removal accounting (tokens covered by >=1 duplicated
+    window). Output: (doc_id, n_windows, dup_windows, dup_frac_x1000,
+    n_tok, n_removed, n_kept).
+
+    Run separately, the two operators each rebuild the identical
+    hash -> explode -> occurrence-count DAG (the expensive part: the
+    rolling-hash kernel over every token). Here the exploded position
+    table is hashed/persisted once; the per-window occurrence groupBy,
+    the dup-flag join, the per-doc counts, and the interval-union
+    window all hang off that single cached frame — the marked-position
+    join subtree feeds both aggregates inside one plan, so Spark's
+    exchange reuse dedups its shuffle. Storage/scale posture identical
+    to dup_span_stats (16-byte position rows, AQE skew-split probe).
+    """
+    from logparser_spark.operators.util import track_persist
+
+    hashed = with_window_hashes(
+        df.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    )
+    # posexplode_outer: empty/short docs keep one NULL row so they
+    # surface with n_windows = 0 (and n_tok still reported)
+    pos = hashed.select(
+        "doc_id",
+        F.size(tokens_col).cast("long").alias("n_tok"),
+        F.posexplode_outer("win_hashes").alias("i", "h"),
+    )
+    pos = track_persist(pos)
+    occ = (
+        pos.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    dup = occ.where(F.col("occ") > 1).select("h", F.lit(True).alias("is_dup"))
+    marked = pos.join(dup, "h", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.count("h").alias("n_windows"),
+        F.count(F.when(F.col("is_dup"), F.lit(1))).alias("dup_windows"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    seg = F.least(F.lit(k).cast("long"), F.lead("i").over(w) - F.col("i"))
+    removed = (
+        marked.where(F.col("is_dup"))
+        .select("doc_id", seg.alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("n_removed"))
+    )
+    return per_doc.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        F.expr(
+            "CASE WHEN n_windows = 0 THEN 0L"
+            " ELSE (1000 * dup_windows) div n_windows END"
+        ).alias("dup_frac_x1000"),
+        "n_tok",
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        (F.col("n_tok") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+    )
+
+
 def doc_repetition(
     df: DataFrame, k: int = 4, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

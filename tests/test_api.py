@@ -25,6 +25,46 @@ def test_page_query_ordered_and_sliced(api):
     assert {r.doc_id for r in p1}.isdisjoint({r.doc_id for r in p2})
 
 
+def test_keyset_pagination_equals_offset_sweep(api):
+    """get_logs_after (keyset) must reproduce OFFSET paging exactly:
+    walk the full result in pages, feeding each page's last row back as
+    the next cursor — every page identical to its offset twin."""
+    size = 400  # ~6 pages over the tiny fixture: full sweep, bounded jobs
+    cursor = None
+    page = 1
+    seen = 0
+    while True:
+        offset_rows = api.get_logs(page=page, size=size).collect()
+        if cursor is None:
+            keyset_rows = offset_rows  # page 1 IS get_logs
+        else:
+            keyset_rows = api.get_logs_after(cursor[0], cursor[1], size=size).collect()
+        assert [(r.doc_id, r.time) for r in keyset_rows] == [
+            (r.doc_id, r.time) for r in offset_rows
+        ], f"page {page}"
+        if not offset_rows:
+            break
+        seen += len(offset_rows)
+        last = offset_rows[-1]
+        cursor = (last.time, last.doc_id)
+        page += 1
+        if len(offset_rows) < size:
+            # final partial page: one more loop proves both are empty
+            assert api.get_logs_after(cursor[0], cursor[1], size=size).count() == 0
+            break
+    assert seen == api._facts(None).count()  # swept everything
+
+
+def test_keyset_pagination_respects_filters(api):
+    flt = LogFilter(action="TCP_DENIED")
+    p1 = api.get_logs(flt, page=1, size=10).collect()
+    assert len(p1) == 10
+    last = p1[-1]
+    p2 = api.get_logs_after(last.time, last.doc_id, flt, size=10).collect()
+    assert p2 == api.get_logs(flt, page=2, size=10).collect()
+    assert all(r.action == "TCP_DENIED" for r in p2)
+
+
 def test_filtered_page(api):
     flt = LogFilter(action="TCP_DENIED")
     rows = api.get_logs(flt, size=500).collect()

@@ -304,3 +304,34 @@ def test_decontaminate_self_overlap(spark):
     out = decontaminate_stats(train, bench, k=5)
     flagged = sorted(r["doc_id"] for r in out.where("contaminated").collect())
     assert flagged == [i for i in range(0, 100, 5) if i % 4 == 0]
+
+
+# ---------------------------------------------------------------- doc_stats
+
+
+def test_doc_stats_equals_individual_operators(spark):
+    """The one-pass profile must agree with quality_features,
+    token_counts and lang_id column for column (it exists to read the
+    corpus once, not to change any value)."""
+    from logparser_spark.operators import textstats
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog . " * 3),
+        (2, "es", "el que la de y en un por con para"),
+        (3, "zh", "的 是 在 了 和"),
+        (4, "en", "x"),
+        (5, "de", "der die das und ist von mit ein zu auf !!! 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    prof = {r["doc_id"]: r.asDict() for r in textstats.doc_stats(df).collect()}
+    qf = {r["doc_id"]: r.asDict() for r in textstats.quality_features(df).collect()}
+    tc = {r["doc_id"]: r.asDict() for r in textstats.token_counts(df).collect()}
+    li = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.lang_id(df)
+        .select("doc_id", "lang", "predicted_lang", "best_score")
+        .collect()
+    }
+    for i in prof:
+        merged = {**qf[i], **tc[i], **li[i]}
+        assert prof[i] == {k: merged[k] for k in prof[i]}, i

@@ -60,6 +60,27 @@ def test_decode_media_fake_dims(media):
     assert mm.decode_media(media).schema == mm.DECODED_SCHEMA
 
 
+def test_media_profile_equals_stats_join_decode(media):
+    """One-pass profile = media_stats ⋈ decode_media, column for column
+    (it exists to read the payload once, not to change any value)."""
+    prof = {r["doc_id"]: r.asDict() for r in mm.media_profile(media).collect()}
+    stats = {r["doc_id"]: r.asDict() for r in mm.media_stats(media).collect()}
+    dec = {r["doc_id"]: r.asDict() for r in mm.decode_media(media).collect()}
+    assert set(prof) == set(stats) == set(dec)
+    for i in prof:
+        assert prof[i] == {**dec[i], **stats[i], **{
+            k: dec[i][k] for k in ("width", "height", "sample_rate", "n_frames")
+        }}, i
+
+
+def test_media_profile_real_is_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        mm.media_profile(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
 def test_decode_media_real_is_stubbed(media):
     with pytest.raises(Exception) as ei:
         mm.decode_media(media, decoder="real").collect()

@@ -164,6 +164,28 @@ def test_window_hash_udf_marked_nondeterministic():
     assert tokenstats.window_hash_udf(4).deterministic is False
 
 
+def test_dup_span_report_equals_separate_operators(spark):
+    """The shared-DAG report must equal dup_span_stats ⋈ dup_span_removal
+    column for column (it exists purely to run the detection pass once)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randrange(5) for _ in range(rng.randrange(0, 12))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    rep = {r["doc_id"]: r.asDict() for r in tokenstats.dup_span_report(df, k=3).collect()}
+    st = {r["doc_id"]: r.asDict() for r in dup_span_stats(df, k=3).collect()}
+    rem = {r["doc_id"]: r.asDict() for r in tokenstats.dup_span_removal(df, k=3).collect()}
+    assert set(rep) == set(st) == set(rem)
+    for i in rep:
+        for c in ("n_windows", "dup_windows", "dup_frac_x1000"):
+            assert rep[i][c] == st[i][c], (i, c)
+        for c in ("n_tok", "n_removed", "n_kept"):
+            assert rep[i][c] == rem[i][c], (i, c)
+
+
 def test_dup_span_removal_interval_union(spark):
     # doc 1: [5,6,7,8,5,6,7,8] k=3 -> windows at 0..5; (5,6,7) dups at
     # 0,4; (6,7,8) dups at 1,5 -> dup starts {0,1,4,5}, union
