@@ -105,6 +105,9 @@ def media_profile(media: DataFrame, decoder: str = "fake") -> DataFrame:
         "n_bytes",
         F.md5("payload").alias("content_md5"),
         F.ascii(F.col("payload").cast("string")).alias("first_char"),
+        # the fake decoder needs only n_bytes, so the blob is pruned at
+        # the scan; the real decoder must see the bytes
+        *(["payload"] if decoder == "real" else []),
     )
     out_schema = StructType(
         [
@@ -117,12 +120,7 @@ def media_profile(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real decoder needs Pillow/soundfile/ffprobe, absent in "
-                    "this container (see decode_media)"
-                )
-            dec = _fake_decode(pdf)
+            dec = _real_decode(pdf) if decoder == "real" else _fake_decode(pdf)
             dec.insert(3, "content_md5", pdf["content_md5"].to_numpy())
             dec.insert(4, "first_char", pdf["first_char"].to_numpy())
             yield dec
@@ -131,6 +129,77 @@ def media_profile(media: DataFrame, decoder: str = "fake") -> DataFrame:
     # the kernel consumes the pruned pre-projection (payload dropped at
     # the scan after the md5/ascii exprs)
     return pre.mapInPandas(run, schema=out_schema)
+
+
+def _real_decoders() -> dict:
+    """Probe for real media libraries at call time (executor-side).
+
+    Returns the importable decoders keyed by media_type; empty when the
+    container has none (this sandbox). The probe keeps the 'real' path
+    testable wherever the libs exist instead of raising by
+    construction — environments with Pillow/soundfile get real decode
+    for those types, and only the genuinely undecodable types raise.
+    """
+    out = {}
+    try:  # images: Pillow
+        from PIL import Image  # type: ignore
+
+        def _img(payload: bytes):
+            import io
+
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.size  # (width, height)
+
+        out["image"] = _img
+    except Exception:
+        pass
+    try:  # audio: soundfile
+        import io
+
+        import soundfile  # type: ignore
+
+        def _aud(payload: bytes):
+            info = soundfile.info(io.BytesIO(payload))
+            return int(info.samplerate)
+
+        out["audio"] = _aud
+    except Exception:
+        pass
+    return out
+
+
+def _real_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch real decode: dispatch each row's payload to its
+    type's decoder; raise for types with no importable decoder (video
+    needs ffprobe — never silently fake a value on the real path)."""
+    decoders = _real_decoders()
+    missing = sorted(set(pdf["media_type"]) - set(decoders))
+    if missing:
+        raise NotImplementedError(
+            f"real decoder unavailable for {missing}: needs "
+            "Pillow (image) / soundfile (audio) / ffprobe (video); "
+            "this container ships none — use decoder='fake' for the "
+            "deterministic value-checked path"
+        )
+    width, height, rate, frames = [], [], [], []
+    for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+        if mt == "image":
+            w, h = decoders["image"](bytes(payload))
+            width.append(w); height.append(h); rate.append(None); frames.append(None)
+        else:  # audio
+            sr = decoders["audio"](bytes(payload))
+            width.append(None); height.append(None); rate.append(sr); frames.append(None)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": pdf["n_bytes"],
+            "width": pd.array(width, dtype="Int32"),
+            "height": pd.array(height, dtype="Int32"),
+            "sample_rate": pd.array(rate, dtype="Int32"),
+            "n_frames": pd.array(frames, dtype="Int32"),
+        }
+    )
 
 
 def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -162,23 +231,21 @@ def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
 def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas decode: binary payload -> typed metadata row.
 
-    ``decoder='real'`` is the production slot (Pillow ``Image.open``
-    for images, ``soundfile``/``ffprobe`` for audio/video) — not
-    available in this container, so it raises; 'fake' keeps identical
-    plumbing with deterministic output.
+    ``decoder='real'`` probes for Pillow (image) / soundfile (audio)
+    at run time and decodes with whatever is importable, raising only
+    for payload types with no decoder present (video needs ffprobe;
+    this container ships none of the three, so here the real path
+    raises — but the code is exercisable wherever the libs exist, and
+    the unit test skips instead of failing when they are absent).
+    'fake' keeps identical plumbing with deterministic, SQL-reproducible
+    output.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real decoder needs Pillow/soundfile/ffprobe, absent in "
-                    "this container; swap _fake_decode for "
-                    "PIL.Image.open(io.BytesIO(payload)).size etc."
-                )
-            yield _fake_decode(pdf)
+            yield _real_decode(pdf) if decoder == "real" else _fake_decode(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 

@@ -549,11 +549,19 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+class DomainTooLargeError(RuntimeError):
+    """hist_quantiles got a value column whose distinct-value count
+    exceeds the per-group histogram bound — a continuous/unbounded
+    domain would buffer unbounded state in collect_list. Bucketize the
+    value first or use approx_percentile."""
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,
     group_cols: list[str],
     q_nums: tuple[int, ...] = (500, 900, 990),
+    max_domain: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles (quantile_cont semantics)
     from a value histogram, in integer arithmetic.
@@ -567,10 +575,38 @@ def hist_quantiles(
     does all the data-sized work; the packed per-group histogram is
     bounded by the value DOMAIN (token counts are line-length-bounded),
     not the row count — the buffering ``percentile()`` aggregate would
-    OOM at 10^12 rows, this cannot. For unbounded/continuous domains,
-    bucketize the value first or use approx_percentile.
+    OOM at 10^12 rows, this cannot. The bound is ENFORCED: a value
+    column with more than ``max_domain`` distinct values (a continuous
+    measurement, a raw timestamp) fails fast with DomainTooLargeError
+    and the bucketize/approx_percentile advice, instead of OOMing the
+    collect_list (``max_domain=None`` skips the probe for callers that
+    know their domain).
     """
     hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    if max_domain is not None:
+        # existence probe on the aggregated frame, which is persisted so
+        # the probe's pass IS the main query's input (no second scan of
+        # the raw data): stops at max_domain+1 distinct values. When the
+        # guard trips, only the probe's partial cache was materialized
+        # (MEMORY_AND_DISK — spills, never OOMs) and we raise before any
+        # collect_list buffers.
+        from logparser_spark.operators.util import track_persist
+
+        hist = track_persist(hist)
+        over = (
+            hist.select(value_col)
+            .distinct()
+            .limit(max_domain + 1)
+            .count()
+        )
+        if over > max_domain:
+            raise DomainTooLargeError(
+                f"{value_col} has > {max_domain} distinct values — the "
+                "per-group histogram would buffer unbounded state; "
+                "bucketize the value first (e.g. F.floor(col/width)) or "
+                "use approx_percentile, or pass max_domain=None if the "
+                "domain is genuinely bounded"
+            )
     packed = hist.groupBy(*group_cols).agg(
         F.sort_array(
             F.collect_list(

@@ -73,7 +73,9 @@ def test_media_profile_equals_stats_join_decode(media):
         }}, i
 
 
-def test_media_profile_real_is_stubbed(media):
+def test_media_profile_real_raises_without_decoders(media):
+    if mm._real_decoders():
+        pytest.skip("real media libs present; covered by the real-path test")
     with pytest.raises(Exception) as ei:
         mm.media_profile(media, decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -81,7 +83,12 @@ def test_media_profile_real_is_stubbed(media):
     )
 
 
-def test_decode_media_real_is_stubbed(media):
+def test_decode_media_real_raises_without_decoders(media):
+    """With no media libs importable, the real path must raise loudly
+    (never silently fake); with libs present this is skipped and the
+    real-path test below runs instead."""
+    if mm._real_decoders():
+        pytest.skip("real media libs present; covered by the real-path test")
     with pytest.raises(Exception) as ei:
         mm.decode_media(media, decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -89,6 +96,27 @@ def test_decode_media_real_is_stubbed(media):
     )
     with pytest.raises(ValueError):
         mm.decode_media(media, decoder="bogus")
+
+
+def test_decode_media_real_images_with_pillow(spark):
+    """Exercised wherever Pillow exists (skipped in this container):
+    a real PNG decodes to its true dimensions through the same
+    mapInPandas plumbing as the fake path."""
+    decoders = mm._real_decoders()
+    if "image" not in decoders:
+        pytest.skip("Pillow not importable in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 7)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", payload, len(payload))], schema=mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(df, decoder="real").collect()[0]
+    assert (row["width"], row["height"]) == (5, 7)
 
 
 def test_resize_images_only_images_fixed_size(media):

@@ -231,3 +231,22 @@ def test_dup_span_removal_consistent_with_stats(spark):
             assert rem[i]["n_removed"] == 0
         else:
             assert st[i]["dup_windows"] <= rem[i]["n_removed"] <= 4 * st[i]["dup_windows"] + 3
+
+
+def test_hist_quantiles_domain_guard(spark):
+    """A continuous-ish value column must fail fast (never OOM the
+    collect_list); a bounded domain passes; None skips the probe."""
+    import pytest as _pytest
+
+    from logparser_spark.operators.tokenstats import (
+        DomainTooLargeError,
+        hist_quantiles,
+    )
+
+    df = spark.range(500).selectExpr("id % 3 AS g", "id AS v")
+    with _pytest.raises(DomainTooLargeError):
+        hist_quantiles(df, "v", ["g"], max_domain=100).collect()
+    ok = hist_quantiles(df, "v", ["g"], max_domain=1000)
+    assert ok.count() == 9  # 3 groups x 3 quantiles
+    ok2 = hist_quantiles(df, "v", ["g"], max_domain=None)
+    assert sorted(map(tuple, ok2.collect())) == sorted(map(tuple, ok.collect()))
