@@ -12,8 +12,13 @@ kill mid-pipeline-block): the headline line is printed and FLUSHED as
 soon as the headline queries finish; if the end-to-end pipeline block
 completes within the time budget (``$SPARK_GRAFT_BENCH_BUDGET_SEC``,
 default 2400 s from process start), a superset line with the
-``pipeline_*`` throughput fields follows. Take the LAST JSON line on
-stdout; any line is a complete artifact.
+``pipeline_*`` throughput fields follows, and if the budget still
+allows, a final superset line adds the north-rule ``scaling_*`` fields
+(local[2] vs local[8] end-to-end throughput + efficiency — one warmup
++ one trial per leg; the full interleaved best-of protocol stays
+behind ``--scaling``). Take the LAST JSON line on stdout; any line is
+a complete artifact. ``SPARK_GRAFT_SKIP_PIPELINE=1`` /
+``SPARK_GRAFT_SKIP_SCALING=1`` skip the respective blocks.
 
 ``--scaling`` mode (north-rule evidence): run the identical end-to-end
 parse->enrich->route->write->aggregate job over a deterministic 10M-row
@@ -110,6 +115,12 @@ _HEADLINE_EXPECTED_SEC = 100.0
 # generation ~110 s (fixtures_cache/ is gitignored, so the driver
 # always regenerates), warmup pass ~35 s, timed trial ~30 s.
 _PIPELINE_EST_SEC = {"fixture": 110.0, "warmup": 35.0, "trial": 30.0}
+# driver-mode scaling block: warmup + best-of-2 trials per leg on the
+# 10M-row fixture; local[2] dominates (~3 x 130 s), local[8] ~3 x 35 s.
+# Best-of-2 (not 1): this VM's available CPU drifts with host
+# contention, which depresses the WIDE leg more — a single contended
+# trial understates efficiency by 0.1+ (measured).
+_SCALING_EST_SEC = 560.0
 
 
 def _emit(out: dict) -> None:
@@ -176,7 +187,45 @@ def run_driver_bench(sf_dir: str) -> dict:
     if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE") != "1":
         out.update(_pipeline_block_guarded())
         _emit(out)
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        out.update(_scaling_block_guarded())
+        _emit(out)
     return out
+
+
+def _scaling_block_guarded() -> dict:
+    """North-rule scaling evidence recorded in the DRIVER artifact:
+    the same end-to-end job at local[2] and local[8] (N vs 4N cores —
+    no real cluster exists in this sandbox), one warmup + one trial per
+    leg on the 10M-row fixture, reported as throughput at both levels
+    plus efficiency. Budget-gated and exception-guarded like the
+    pipeline block; the full interleaved best-of protocol (+ hardware
+    ceiling) stays behind ``--scaling`` and BENCH.md."""
+    elapsed = time.monotonic() - _T0
+    contention = max(1.0, elapsed / _HEADLINE_EXPECTED_SEC)
+    est = _SCALING_EST_SEC * contention
+    if elapsed + est > BENCH_BUDGET_SEC:
+        return {
+            "scaling_skipped": "budget",
+            "scaling_estimated_sec": round(est, 1),
+            "scaling_elapsed_sec": round(elapsed, 1),
+        }
+    try:
+        s = run_scaling(
+            n_low=2, fixture_scale="bench", rounds=1, repeats=2,
+            with_hw=False, write_md=False,
+        )
+        return {
+            "scaling_n_low": s["n_low"],
+            "scaling_n_high": s["n_high"],
+            "scaling_low_seq_per_sec": s["low"]["seq_per_sec"],
+            "scaling_high_seq_per_sec": s["high"]["seq_per_sec"],
+            "scaling_efficiency": s["scaling_efficiency"],
+            "scaling_speedup": s["speedup"],
+            "scaling_rows": s["rows"],
+        }
+    except Exception as exc:  # noqa: BLE001 — artifact must survive
+        return {"scaling_error": f"{type(exc).__name__}: {exc}"[:500]}
 
 
 BASELINE_LINES_PER_SEC = 155_000  # BASELINE.md: 60M lines / 386.5 s, parse-only
@@ -321,11 +370,24 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
     }
 
 
-def run_scaling(n_low: int, fixture_scale: str = "bench", rounds: int = 2) -> dict:
+def run_scaling(
+    n_low: int,
+    fixture_scale: str = "bench",
+    rounds: int = 2,
+    repeats: int = 2,
+    with_hw: bool = True,
+    write_md: bool = True,
+) -> dict:
     """Interleaved rounds (lo, hi, lo, hi, ...) with per-leg best-of:
     host contention on this VM drifts on multi-minute scales, so
     adjacent-in-time samples of BOTH legs plus a max over rounds give
-    the least-contention-biased efficiency estimate."""
+    the least-contention-biased efficiency estimate.
+
+    Driver mode calls this with rounds=1, repeats=2, with_hw=False —
+    one warmup + best-of-2 trials per leg, no ceiling microbenchmark — to
+    record the north-rule evidence in every BENCH_r{N}.json without
+    blowing the bench budget; the full protocol stays behind --scaling.
+    """
     from logparser_spark.fixtures import ensure_fixture
 
     input_path = ensure_fixture(fixture_scale)
@@ -345,6 +407,8 @@ def run_scaling(n_low: int, fixture_scale: str = "bench", rounds: int = 2) -> di
                 input_path,
                 "--out",
                 out_root,
+                "--repeats",
+                str(repeats),
             ]
             print(f"[scaling] round {r} local[{n}] ...", file=sys.stderr)
             proc = subprocess.run(cmd, capture_output=True, text=True)
@@ -364,8 +428,10 @@ def run_scaling(n_low: int, fixture_scale: str = "bench", rounds: int = 2) -> di
     for n in (n_low, n_high):
         results[n]["all_rounds_seq_per_sec"] = all_rates[n]
 
-    print("[scaling] hardware-ceiling microbenchmark ...", file=sys.stderr)
-    hw = hw_ceiling(n_low, n_high)
+    hw = None
+    if with_hw:
+        print("[scaling] hardware-ceiling microbenchmark ...", file=sys.stderr)
+        hw = hw_ceiling(n_low, n_high)
 
     lo, hi = results[n_low], results[n_high]
     eff = hi["seq_per_sec"] / (n_high / n_low * lo["seq_per_sec"])
@@ -378,10 +444,19 @@ def run_scaling(n_low: int, fixture_scale: str = "bench", rounds: int = 2) -> di
         "high": hi,
         "scaling_efficiency": round(eff, 3),
         "speedup": round(hi["seq_per_sec"] / lo["seq_per_sec"], 2),
-        "hw_ceiling": hw,
-        "efficiency_vs_hw": round(eff / hw["efficiency"], 3) if hw["efficiency"] else None,
+        **(
+            {
+                "hw_ceiling": hw,
+                "efficiency_vs_hw": round(eff / hw["efficiency"], 3)
+                if hw["efficiency"]
+                else None,
+            }
+            if hw
+            else {}
+        ),
     }
-    _write_bench_md(summary)
+    if write_md:
+        _write_bench_md(summary)
     return summary
 
 
@@ -491,6 +566,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="low parallelism; high = 4n")
     ap.add_argument("--fixture", default="bench")
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2, help="timed trials per pipeline-run")
     ap.add_argument("--big-run", action="store_true")
     ap.add_argument("--pipeline-run", action="store_true")
     ap.add_argument("--master", default=f"local[{CPUS}]")
@@ -502,7 +578,7 @@ def main() -> None:
     if args.pipeline_run:
         if not args.input:
             ap.error("--pipeline-run requires --input")
-        print(json.dumps(pipeline_run(args.master, args.input, args.out)))
+        print(json.dumps(pipeline_run(args.master, args.input, args.out, repeats=args.repeats)))
     elif args.big_run:
         print(json.dumps(run_big()))
     elif args.scaling:

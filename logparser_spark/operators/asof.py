@@ -116,23 +116,20 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         partial = F.last("__snap", ignorenulls=True).over(w1)
-        # phase 2 (tiny): per (key, bucket), the bucket's LAST snapshot
-        # (latest right time; max_by ties are the documented duplicate-
-        # snapshot ambiguity) ...
-        bnd = (
-            u.where(F.col("__side") == 0)
-            .groupBy(*key_cols, "__tb")
-            .agg(F.max_by("__snap", F.col(time_col)).alias("__bsnap"))
-        )
-        # ... spread over every (key, bucket) present on EITHER side
-        # (left-only buckets still need a carry-in), then carried
-        # forward per key over one-row-per-bucket data — the per-key
-        # window is bounded by the bucket count, never the row count.
+        # phase 2 (tiny): ONE groupBy over every (key, bucket) present
+        # on EITHER side yields the bucket's LAST snapshot — max_by
+        # skips NULL ordering keys, so left rows (NULL right-time)
+        # contribute the group but never a snapshot, and left-only
+        # buckets land with a NULL boundary; ties at equal right time
+        # are the documented duplicate-snapshot ambiguity. Then the
+        # boundary is carried forward per key over one-row-per-bucket
+        # data — that window is bounded by the bucket count, never the
+        # row count.
+        rt = F.when(F.col("__side") == 0, F.col(time_col))
         grid = (
             u.where(F.col("__tb").isNotNull())
-            .select(*key_cols, "__tb")
-            .distinct()
-            .join(bnd, [*key_cols, "__tb"], "left")
+            .groupBy(*key_cols, "__tb")
+            .agg(F.max_by("__snap", rt).alias("__bsnap"))
         )
         w2 = (
             Window.partitionBy(*key_cols)
