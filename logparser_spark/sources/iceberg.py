@@ -33,7 +33,8 @@ snapshot id in manifest      chunk id + input-file list in manifest
 rollback_to_snapshot         remove_chunk (delete chunk-prefixed files)
 MERGE INTO (DO NOTHING)      upsert_ignore (left-anti + append)
 MERGE INTO (DO UPDATE)       upsert_replace (union + keep-latest)
-compaction                   pre_shuffle=True clustered write
+rewrite_data_files           compact.compact_sinks (bin-pack rewrite +
+  (compaction)                 footer-verified swap + manifest record)
 ===========================  ==========================================
 """
 
@@ -89,6 +90,34 @@ def create_table_sql(table: str, schema_ddl: str) -> str:
         # than snappy on the token payload (measured, sinks.py)
         "'write.target-file-size-bytes' = '536870912')"
     )
+
+
+def rewrite_data_files_sql(
+    catalog: str,
+    table: str,
+    target_file_bytes: int = 512 << 20,
+    min_input_files: int = 2,
+    where: str | None = None,
+) -> str:
+    """The compaction call (reference analog: index rebuild after load,
+    LogFileParser.java:727-821; sandbox stand-in:
+    ``compact.compact_sinks``). Bin-pack strategy — same policy as the
+    stand-in: rewrite any partition whose data sits in more files than
+    ceil(bytes / target). ``where`` scopes the pass (e.g. one day's
+    partitions after a daily load) so maintenance cost tracks the
+    delta, not the table."""
+    _check_sql_identifier(catalog, "catalog")
+    _check_sql_identifier(table, "table")
+    opts = (
+        f"'target-file-size-bytes', '{int(target_file_bytes)}', "
+        f"'min-input-files', '{int(min_input_files)}'"
+    )
+    args = [f"table => '{table}'", "strategy => 'binpack'", f"options => map({opts})"]
+    if where is not None:
+        if "'" in where:
+            raise ValueError("where clause must not contain single quotes")
+        args.append(f"where => '{where}'")
+    return f"CALL {catalog}.system.rewrite_data_files({', '.join(args)})"
 
 
 def merge_into_sql(
@@ -203,6 +232,27 @@ class IcebergMultiSinkWriter:
 
     def last_snapshot_id(self, chunk_id: str) -> int | None:
         return self._snapshots.get(chunk_id)
+
+    def compact(
+        self,
+        target_file_bytes: int = 512 << 20,
+        min_input_files: int = 2,
+        where: str | None = None,
+    ):
+        """Post-load compaction: one rewrite_data_files snapshot (the
+        Iceberg-native form of ``compact.compact_sinks``). Scope with
+        ``where`` after an incremental load so the pass touches only
+        the partitions the load fragmented."""
+        catalog, _, rest = self.table.partition(".")
+        if not rest:
+            raise ValueError(
+                f"table {self.table!r} must be catalog-qualified for CALL"
+            )
+        return self.spark.sql(
+            rewrite_data_files_sql(
+                catalog, rest, target_file_bytes, min_input_files, where
+            )
+        )
 
 
 def merge_upsert(

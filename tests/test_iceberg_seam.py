@@ -203,3 +203,34 @@ def test_sql_identifier_guard():
     with pytest.raises(ValueError, match="cannot be safely interpolated"):
         ice._check_sql_identifier("chunk'; DROP TABLE x;--", "chunk_id")
     assert ice._check_sql_identifier("chunk-00042", "chunk_id") == "chunk-00042"
+
+
+def test_rewrite_data_files_sql_shape():
+    sql = ice.rewrite_data_files_sql(
+        "lake", "db.routed", target_file_bytes=256 << 20, min_input_files=3
+    )
+    assert sql == (
+        "CALL lake.system.rewrite_data_files(table => 'db.routed', "
+        "strategy => 'binpack', options => map("
+        "'target-file-size-bytes', '268435456', 'min-input-files', '3'))"
+    )
+    scoped = ice.rewrite_data_files_sql("lake", "db.routed", where="day = DATE_X")
+    assert scoped.endswith("where => 'day = DATE_X')")
+    with pytest.raises(ValueError):
+        ice.rewrite_data_files_sql("lake", "db.routed", where="x = 'inject'")
+    with pytest.raises(ValueError, match="cannot be safely interpolated"):
+        ice.rewrite_data_files_sql("lake; DROP", "db.routed")
+
+
+def test_compact_protocol_pinned(proxy):
+    """Post-load compaction issues exactly one rewrite_data_files CALL
+    against the writer's own table (the Iceberg-native twin of
+    compact.compact_sinks)."""
+    w = ice.IcebergMultiSinkWriter(proxy, "lake.db.routed")
+    w.compact(target_file_bytes=128 << 20, where="category = X")
+    assert proxy.sql_log == [
+        "CALL lake.system.rewrite_data_files(table => 'db.routed', "
+        "strategy => 'binpack', options => map("
+        "'target-file-size-bytes', '134217728', 'min-input-files', '2'), "
+        "where => 'category = X')"
+    ]

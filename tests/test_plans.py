@@ -123,3 +123,43 @@ def test_hourly_hist_single_scan(sink):
     # formatted explain shows each node in tree AND detail; count detail
     # headers "(n) Scan parquet" — exactly one distinct scan node
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_doc_stats_is_single_pass_zero_shuffle(spark):
+    """The merged per-doc profile must stay one narrow select: no
+    Exchange anywhere, one scan (the whole point of the merge)."""
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "en", "the quick brown fox")], "doc_id long, lang string, text string"
+    )
+    plan = plan_of(textstats.doc_stats(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_signatures_zero_shuffle(spark, tmp_path):
+    """simhash + fingerprint compose column-wise — one scan, no join,
+    no Exchange (vs the naive sig-frame JOIN fp-frame formulation)."""
+    from logparser_spark.operators import dedup, textstats
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    out = docs.select(
+        "doc_id", dedup.simhash_col("text"), *textstats.fingerprint_cols("text")
+    )
+    plan = plan_of(out)
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_media_profile_single_payload_pass(spark):
+    """The blob is read once: no Join in the plan (the stats ⋈ decode
+    formulation would re-scan and shuffle the payload twice)."""
+    from logparser_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan = plan_of(mm.media_profile(mm.attach_payload(docs)))
+    assert "Join" not in plan, plan
+    assert plan.count("ArrowEvalPython") <= 1  # no second kernel pass
