@@ -123,16 +123,6 @@ def q_sink_totals(spark, sf_dir):
     return agg.sink_totals(routed_events(spark, sf_dir))
 
 
-def q_status_hist(spark, sf_dir):
-    return agg.status_hist(routed_events(spark, sf_dir))
-
-
-def q_hourly_hist(spark, sf_dir):
-    return agg.hourly_hist(routed_events(spark, sf_dir)).withColumn(
-        "hour", F.col("hour").cast("int")
-    )
-
-
 def q_top_urls(spark, sf_dir):
     return agg.top_urls(routed_events(spark, sf_dir), k=100)
 
