@@ -226,6 +226,67 @@ def test_asof_null_keys_and_times_match_nothing(spark):
     assert out == {1: None, 2: None, 3: 333}
 
 
+def test_range_join_exact_past_2p53_nanosecond_epochs(spark):
+    """int64 time domains beyond 2^53 (nanosecond epochs ~1.7e18):
+    bucket ids must come from integer div — float division rounds the
+    point and interval sides independently at bucket edges and silently
+    drops matching pairs (e.g. t=1699999199999999999 true-buckets to
+    472221 but float-buckets to 472222). Pin exactness against a plain
+    BETWEEN model on edge-straddling values."""
+    from logparser_spark.operators.asof import range_join
+
+    b = 3600 * 1_000_000_000  # 1h of nanos
+    edge = (1_700_000_000_000_000_000 // b) * b
+    pts = []
+    for e in (edge - b, edge, edge + b):
+        pts += [e - 2, e - 1, e, e + 1, e + 2]
+    pts = [(i, t) for i, t in enumerate(pts)]
+    ivs = [
+        (100, edge - b, edge - 1),          # exactly one bucket
+        (101, edge - 2, edge + 1),          # straddles the edge
+        (102, edge + 1, edge + 1),          # degenerate single-nano
+        (103, edge - b - 1, edge + b + 1),  # three buckets
+    ]
+    left = spark.createDataFrame(pts, "event_id long, t long")
+    right = spark.createDataFrame(ivs, "iv long, lo long, hi long")
+    got = sorted(
+        (r["event_id"], r["iv"])
+        for r in range_join(left, right, "t", "lo", "hi", b).collect()
+    )
+    exp = sorted(
+        (i, j) for i, t in pts for j, lo, hi in ivs if lo <= t <= hi
+    )
+    assert got == exp
+
+
+def test_asof_bucketed_exact_past_2p53(spark):
+    """Same exactness pin for the bucketed as-of: nanosecond-epoch
+    times, bucket edges straddled; result equals the single-window
+    plan (which never buckets)."""
+    b = 3600 * 1_000_000_000
+    edge = (1_700_000_000_000_000_000 // b) * b
+    left_rows = [
+        (i, 1, t)
+        for i, t in enumerate(
+            [edge - b - 1, edge - 2, edge - 1, edge, edge + 1, edge + b]
+        )
+    ]
+    right_rows = [(1, edge - 1, 10), (1, edge, 20), (1, edge + b, 30)]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, snap long")
+    base = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()
+    }
+    got = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["snap"], time_bucket=b
+        ).collect()
+    }
+    assert got == base == {0: None, 1: None, 2: 10, 3: 20, 4: 20, 5: 30}
+
+
 def test_range_join_inverted_interval_matches_nothing(spark):
     from logparser_spark.operators.asof import range_join
 
