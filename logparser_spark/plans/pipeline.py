@@ -57,8 +57,16 @@ def run_pipeline(
     writer=None,
     progress: bool = False,
     job_group: str | None = None,
+    compact_after: bool = False,
 ) -> dict:
     """Chunked, resumable parse→route load. Returns run metrics.
+
+    ``compact_after=True`` runs the small-file compaction pass once all
+    chunks are committed (reference analog: the automatic index rebuild
+    after every load, LogFileParser.java:727-821) — each oversized
+    (category, day) partition is bin-packed and the rewrite recorded in
+    the same manifest. Off by default: a write-heavy ingest schedule
+    compacts on its own cadence instead of per load.
 
     ``fail_after_chunk`` is a test hook simulating a crash between a
     chunk's sink commit and nothing else (the manifest records it, so
@@ -83,11 +91,11 @@ def run_pipeline(
         with ProgressReporter(spark, out_root, job_group=job_group):
             return _run_pipeline_inner(
                 spark, input_path, out_root, n_chunks, salt_buckets,
-                pre_shuffle, fail_after_chunk, writer,
+                pre_shuffle, fail_after_chunk, writer, compact_after,
             )
     return _run_pipeline_inner(
         spark, input_path, out_root, n_chunks, salt_buckets,
-        pre_shuffle, fail_after_chunk, writer,
+        pre_shuffle, fail_after_chunk, writer, compact_after,
     )
 
 
@@ -100,6 +108,7 @@ def _run_pipeline_inner(
     pre_shuffle: bool = False,
     fail_after_chunk: int | None = None,
     writer=None,
+    compact_after: bool = False,
 ) -> dict:
     import glob as _glob
     import os as _os
@@ -212,11 +221,22 @@ def _run_pipeline_inner(
         if fail_after_chunk is not None and i >= fail_after_chunk:
             raise RuntimeError(f"injected failure after {chunk_id}")
 
-    return {
+    out = {
         "chunks": len(chunks),
         "rows_this_run": total_rows,
         "wall_sec": round(_time.monotonic() - t_all, 3),
     }
+    if compact_after and hasattr(writer, "data_dir"):
+        # post-load maintenance (reference: automatic index rebuild);
+        # Iceberg-backed writers compact via writer.compact() instead
+        from logparser_spark.sources.compact import compact_sinks
+
+        c = compact_sinks(spark, out_root)
+        out["compaction"] = {
+            "chunk_id": c["chunk_id"],
+            "partitions_rewritten": c["partitions_rewritten"],
+        }
+    return out
 
 
 def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:

@@ -104,3 +104,16 @@ def test_uncommitted_compaction_rolled_back(spark, loaded):
     assert s["rolled_back_files"] == 1
     assert not os.path.exists(orphan)
     assert len(_row_multiset(spark, loaded)) < len(before)
+
+
+def test_run_pipeline_compact_after(spark, tiny_input, tmp_path_factory):
+    """compact_after=True = the reference's rebuild-after-load: chunks
+    land, then one compaction pass; results identical to a plain load."""
+    out = str(tmp_path_factory.mktemp("compact_inline"))
+    res = run_pipeline(spark, tiny_input, out, n_chunks=3, compact_after=True)
+    assert res["compaction"]["partitions_rewritten"] > 0
+    for d in _partition_dirs(out):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    ref = str(tmp_path_factory.mktemp("compact_ref"))
+    run_pipeline(spark, tiny_input, ref, n_chunks=3)
+    assert _row_multiset(spark, out) == _row_multiset(spark, ref)
