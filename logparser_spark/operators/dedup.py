@@ -456,11 +456,94 @@ def keep_latest(df: DataFrame, keys: list[str], order_col: str, tie_col: str) ->
     return out.select(*df.columns)
 
 
+def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log^2 n) rounds *regardless of component
+    diameter*, and every round's shuffle volume is bounded by the live
+    edge count — a billion-row component or a million-long dup chain
+    never funnels through a growing per-node label frontier.
+
+    Input: undirected pair edges ``(src, dst)``. Output: one
+    ``(doc_id, label)`` row per NON-ROOT node of a non-singleton
+    component, label = component minimum. Roots and singletons are
+    labelled by the caller's coalesce-to-self.
+
+    Each round:
+    - large-star: every strictly-larger neighbour of u re-points at
+      ``min(Γ(u) ∪ {u})`` — emitted edges keep the child>parent
+      orientation.
+    - small-star: for each child u, all of u's parents (and u itself)
+      re-point at u's minimum parent.
+    Fixed point = a star forest (each child points at its component
+    min). Convergence is exact: same edge count AND empty anti-join —
+    never a hash-sum heuristic that could split a component silently.
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # constant-size lineage across rounds
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("label"))
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric neighbourhood
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("src", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star over the child>parent edges
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_e = (
+            large.join(mins2, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_n = new_e.count()
+        if new_n == n_edges and (
+            new_e.join(e, ["src", "dst"], "left_anti").limit(1).count() == 0
+        ):
+            converged = True
+            e = new_e
+            break
+        e, n_edges = new_e, new_n
+    if not converged:
+        raise RuntimeError(
+            f"star connected-components did not converge within {max_iters} "
+            "rounds (bound is O(log^2 n)); raise max_iters"
+        )
+    # fixed point is a star forest: each child has exactly one parent
+    # (min(dst) is a defensive no-op there)
+    return e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("label")
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
     threshold: float = JACCARD_THRESHOLD,
     max_iters: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     near-dup pair graph, one row per document with
@@ -473,25 +556,44 @@ def near_dup_clusters(
     ``pairs`` defaults to ``minhash_lsh_pairs`` (the scale path, whose
     verified output equals the all-pairs baseline at the threshold).
 
-    Algorithm: distributed min-label propagation — each iteration is
-    one join + groupBy over the label table (labels(x) <-
-    min(labels(x), min of neighbours' labels)), converging in
-    O(component diameter) rounds; near-dup components are shallow
-    (dups of one source chain through it), so this terminates in a
-    handful of rounds. Each iteration is localCheckpoint()ed so the
-    plan/lineage stays constant-size across rounds, and convergence is
-    detected with a count of changed labels (a small aggregate job on
-    the label table, NOT a collect of it). At extreme skew (one
-    billion-row component) the alternating large-star/small-star
-    variant bounds per-round shuffle volume; with thresholds >= 0.8
-    components are tiny and plain propagation is the simpler, equally
-    correct plan.
+    ``algorithm`` picks the components plan; both produce identical
+    output (pytest-pinned equality):
+
+    - ``"label_prop"`` (default): distributed min-label propagation —
+      each iteration is one join + groupBy over the label table
+      (labels(x) <- min(labels(x), min of neighbours' labels)),
+      converging in O(component diameter) rounds. Near-dup components
+      at thresholds >= 0.8 are shallow, so this is the cheaper plan
+      per round (one groupBy vs star's two). Each iteration is
+      localCheckpoint()ed so the plan/lineage stays constant-size
+      across rounds, and convergence is detected with a count of
+      changed labels (a small aggregate job on the label table, NOT a
+      collect of it).
+    - ``"star"``: alternating large-star/small-star (see ``_cc_star``)
+      — O(log^2 n) rounds regardless of diameter, bounded per-round
+      shuffle. The scale path for deep chains (incremental crawl
+      snapshots where dups chain a->b->c->...) or one extreme
+      billion-row component, where label propagation would need
+      diameter-many rounds.
     """
+    if algorithm not in ("label_prop", "star"):
+        raise ValueError(
+            f"algorithm must be 'label_prop' or 'star', got {algorithm!r}"
+        )
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, threshold=threshold)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    if algorithm == "star":
+        labels = _cc_star(edges, max_iters)
+        return docs.select("doc_id").join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_keeper"),
+        )
     # symmetric neighbour list; nodes = every endpoint
     nbrs = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -531,7 +633,8 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge within {max_iters} rounds "
             "(a component's diameter exceeds max_iters); raise max_iters — "
-            "rounds are O(diameter), not O(docs)"
+            "rounds are O(diameter), not O(docs) — or use "
+            "algorithm='star' (O(log^2 n) rounds regardless of diameter)"
         )
     # singletons (docs in no pair) are their own cluster
     return docs.select("doc_id").join(labels, "doc_id", "left").select(

@@ -227,6 +227,83 @@ def test_minhash_kernel_block_paths_agree(spark):
     assert big == tiny
 
 
+def test_star_clusters_equal_label_prop(spark, docs):
+    """algorithm='star' must produce exactly the label_prop clusters on
+    the real near-dup fixture (two independent components algorithms)."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    lp = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in dedup.near_dup_clusters(docs, pairs=pairs).collect()
+    }
+    st = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in dedup.near_dup_clusters(
+            docs, pairs=pairs, algorithm="star"
+        ).collect()
+    }
+    assert st == lp
+
+
+def test_star_converges_on_deep_chain(spark):
+    """A 60-deep dup chain: label_prop needs O(diameter) rounds and
+    raises at max_iters=10; star converges in O(log n) rounds on the
+    SAME budget — the documented deep-chain scale path."""
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        dedup.near_dup_clusters(docs, pairs=chain, max_iters=10)
+    out = dedup.near_dup_clusters(
+        docs, pairs=chain, max_iters=10, algorithm="star"
+    ).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(r.is_keeper for r in out) == 1
+
+
+def test_star_matches_union_find_random_graph(spark):
+    """Seeded random graph (multi-component, dup edges, self-loops,
+    reversed orientation): star clusters must equal a driver-side
+    union-find."""
+    import random
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            docs, pairs=pairs, algorithm="star"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_near_dup_clusters_rejects_unknown_algorithm(spark, docs):
+    with pytest.raises(ValueError, match="label_prop"):
+        dedup.near_dup_clusters(docs, algorithm="bfs")
+
+
 def test_near_dup_clusters_raises_when_unconverged(spark):
     """A chain longer than max_iters must raise, never return a split
     component silently."""
