@@ -11,8 +11,12 @@ first makes URL-keyed dedup/top-K exact.
 
 Scale posture: one pure Catalyst expression tree (regexp_extract per
 component + array_sort for the query) — zero shuffle, fuses into the
-scan projection, whole-stage-codegen'd JVM-side; deterministic, so
-Catalyst CSE shares the component extracts. No Python anywhere.
+scan projection, evaluated JVM-side. No Python anywhere. The component
+regex executes once per extracted group (~6 regex runs per row —
+Catalyst CSE does NOT merge extracts that differ by group index); that
+is still cheap JVM work on a map stage, and `parse_url()` is no
+replacement (it nulls out the scheme-less `host:port` CONNECT targets
+proxy logs are full of).
 """
 
 from __future__ import annotations
@@ -30,11 +34,13 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": 
 def normalize_url_expr(url: Column | str) -> Column:
     """Canonical form of a URL (or proxy-log ``host:port`` CONNECT
     target): lowercase scheme+host, default port stripped, fragment
-    dropped, query params sorted bytewise, bare-root ``/`` dropped.
-    Idempotent (property-tested); ``-`` and empty strings pass through
-    unchanged; the path's case and encoding are preserved (path case is
-    significant on most origins — only scheme/host are case-insensitive
-    per rfc3986 §6.2.2.1).
+    dropped, query params sorted bytewise (only when every key is
+    distinct — repeated-key order is semantics), bare-root ``/``
+    dropped. Idempotent (property-tested); ``-``, empty, IPv6-bracket,
+    and userinfo (``user@host``) URLs pass through unchanged; the
+    path's case and encoding are preserved (path case is significant on
+    most origins — only scheme/host are case-insensitive per rfc3986
+    §6.2.2.1).
     """
     u = F.col(url) if isinstance(url, str) else url
     bare = F.regexp_replace(u, r"#.*", "")  # fragment is client-side only
@@ -43,6 +49,11 @@ def normalize_url_expr(url: Column | str) -> Column:
     port = F.regexp_extract(bare, _C, 3)
     path = F.regexp_extract(bare, _C, 4)
     query = F.regexp_extract(bare, _C, 5)
+    # the raw authority (everything between scheme and path): used only
+    # to detect forms the simple grammar must not touch
+    authority = F.regexp_extract(
+        bare, r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#]*)", 1
+    )
 
     default_port = F.create_map(
         *[F.lit(x) for kv in _DEFAULT_PORTS.items() for x in kv]
@@ -53,7 +64,16 @@ def normalize_url_expr(url: Column | str) -> Column:
 
     path_part = F.when(path == "/", F.lit("")).otherwise(path)
 
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    # Sort params ONLY when every key is distinct: with a repeated key
+    # (?a=1&a=2) the order is semantics (last-value-wins servers), so
+    # reordering would conflate distinct resources. Key = text before
+    # the first '=' (a bare flag is its own key).
+    params = F.split(query, "&")
+    keys = F.transform(params, lambda p: F.substring_index(p, "=", 1))
+    keys_distinct = F.size(F.array_distinct(keys)) == F.size(keys)
+    sorted_q = F.when(
+        keys_distinct, F.array_join(F.array_sort(params), "&")
+    ).otherwise(query)
     query_part = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), sorted_q)
     )
@@ -63,11 +83,17 @@ def normalize_url_expr(url: Column | str) -> Column:
     )
     rebuilt = F.concat(scheme_part, host, port_part, path_part, query_part)
     # pass-through for the reference's null-URL sentinel, anything the
-    # grammar can't place a host for, and bracketed IPv6 authorities
-    # (":" inside the host breaks the component split) — never emit a
-    # mangled URL
+    # grammar can't place a host for, bracketed IPv6 authorities (":"
+    # inside the host breaks the component split), and authorities
+    # carrying userinfo ("user@host" — userinfo is case-SENSITIVE and
+    # "u:p@h" misparses the simple grammar) — never emit a mangled URL
     return F.when(
-        (u == "-") | (u == "") | u.isNull() | (host == "") | host.startswith("["),
+        (u == "-")
+        | (u == "")
+        | u.isNull()
+        | (host == "")
+        | authority.startswith("[")
+        | authority.contains("@"),
         u,
     ).otherwise(rebuilt)
 

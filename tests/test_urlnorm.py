@@ -26,6 +26,13 @@ CASES = [
     ("http://", "http://"),  # no host -> untouched
     ("http://[::1]:8080/p", "http://[::1]:8080/p"),  # ipv6 -> untouched
     ("ftp://F.com:21/f", "ftp://f.com/f"),
+    # userinfo is case-sensitive and misparses the simple grammar ->
+    # pass through verbatim, never emit a mangled/conflated URL
+    ("http://Alice@h.com/x", "http://Alice@h.com/x"),
+    ("HTTP://u:p@Host.com:80/x", "HTTP://u:p@Host.com:80/x"),
+    # repeated query key: order is semantics (last-value-wins servers)
+    ("http://H.com/x?a=2&a=1", "http://h.com/x?a=2&a=1"),
+    ("http://h.com/x?b=1&a=2&b=3", "http://h.com/x?b=1&a=2&b=3"),
 ]
 
 
@@ -40,10 +47,10 @@ def test_known_canonical_forms(spark):
 def test_normalization_is_idempotent(spark):
     rng = random.Random(7)
     schemes = ["http://", "HTTPS://", "", "ftp://", "ws://"]
-    hosts = ["A.b.COM", "x.y", "h", "10.0.0.1", "[::1]", ""]
+    hosts = ["A.b.COM", "x.y", "h", "10.0.0.1", "[::1]", "", "U@h.co", "u:p@H.c"]
     ports = ["", ":80", ":443", ":8080", ":0443"]
     paths = ["", "/", "/A/b", "/p?not=path", "//x"]
-    queries = ["", "?b=1&a=2", "?a=1&", "?&", "?Z", "?a=1&a=0"]
+    queries = ["", "?b=1&a=2", "?a=1&", "?&", "?Z", "?a=1&a=0", "?x&x", "?a=1&a"]
     frags = ["", "#f", "##x", "#a?b=1"]
     urls = [
         rng.choice(schemes)
