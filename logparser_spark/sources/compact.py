@@ -21,13 +21,21 @@ prefix-named files + manifest as the commit point):
    crashed before removing their source files (idempotent);
 2. roll back promoted files of any compaction id NOT in the manifest
    (a crash before commit leaves only prefix-identifiable garbage);
-3. per oversized partition: rewrite to staging, promote with the
-   ``compact-NNNNN-`` prefix, verify footer row counts (new == old)
-   BEFORE anything is deleted — a mismatch aborts with the partition
-   untouched;
-4. commit ONE manifest record carrying the rewrite lineage (per
+3. per oversized partition (concurrently): rewrite ONLY
+   committed-generation files to staging and verify footer row counts
+   (staged == old) there — a failure in any partition aborts with
+   every live directory untouched. Files of an UNcommitted chunk (a
+   load that crashed between promote and its manifest commit) are
+   never compaction sources: baking them into a compacted file would
+   survive the resume's chunk rollback and duplicate the chunk's rows
+   when it is re-processed;
+4. promote every partition's verified files with the
+   ``compact-NNNNN-`` prefix (serial; an exception mid-promote removes
+   the files already promoted, and a hard crash leaves only
+   uncommitted-prefix files that step 2 heals next run);
+5. commit ONE manifest record carrying the rewrite lineage (per
    partition: old files, new file count, rows);
-5. delete the old files. A crash inside 5 is healed by 1 next run.
+6. delete the old files. A crash inside 6 is healed by 1 next run.
 
 Readers between 4 and 5 can observe a partition twice (both file
 generations) — run compaction between loads/query windows, exactly like
@@ -51,6 +59,9 @@ from logparser_spark.plans.checkpoint import Manifest
 from logparser_spark.sources.sinks import footer_row_count
 
 _COMPACT_RX = re.compile(r"^(compact-\d{5})-")
+# every live data file carries its generation prefix (the writer's
+# chunk id or a compaction id) — the commit unit of both protocols
+_GEN_RX = re.compile(r"^((?:chunk|compact)-\d{5})-")
 
 
 def _data_dir(out_root: str) -> str:
@@ -107,10 +118,12 @@ def compact_sinks(
     files. Returns a summary dict (also committed to the manifest).
 
     Query results are byte-identical before/after (footer-verified row
-    counts per partition before any delete; content equality is pinned
-    in tests). Resume stays valid: chunk manifest records are untouched
-    and chunk-id rollback only ever fires for UNcommitted chunks, which
-    by definition have no compacted files.
+    counts per partition in staging, before any live-directory change;
+    content equality is pinned in tests). Resume stays valid: chunk
+    manifest records are untouched, and files of uncommitted chunks are
+    excluded from compaction sources (left in place for the resume's
+    chunk rollback), so a chunk is never both baked into a compacted
+    file AND re-processed.
 
     Scale posture: one coalesce-write job per oversized partition,
     submitted concurrently from driver threads (same pattern as
@@ -129,7 +142,15 @@ def compact_sinks(
 
     plans = []  # (partition_dir, old_files, n_out)
     for pdir in _partition_dirs(out_root):
-        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        # only committed generations: an uncommitted chunk's files must
+        # stay untouched so the resume's remove_chunk rollback (followed
+        # by re-processing) doesn't duplicate rows already baked into a
+        # compacted file
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(pdir, "*.parquet"))
+            if (m := _GEN_RX.match(os.path.basename(f))) and m.group(1) in done
+        )
         if len(files) < min_files:
             continue
         total = sum(os.path.getsize(f) for f in files)
@@ -143,6 +164,10 @@ def compact_sinks(
         shutil.rmtree(staging)
 
     def rewrite(plan):
+        """Rewrite one partition into staging and verify it THERE —
+        no live directory is touched, so a failure in any partition
+        (this thread or a sibling) aborts the whole compaction with
+        every partition intact."""
         pdir, files, n_out = plan
         rel = os.path.relpath(pdir, _data_dir(out_root))
         stage = os.path.join(staging, rel)
@@ -155,27 +180,48 @@ def compact_sinks(
             .option("compression", compression)
             .parquet(stage)
         )
-        new_files = []
-        for src in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
-            dst = os.path.join(pdir, f"{compact_id}-{os.path.basename(src)}")
-            os.replace(src, dst)
-            new_files.append(dst)
-        # verify BEFORE anything is deleted: promoted rows == source rows
+        staged_files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
         old_rows = footer_row_count(files)
-        new_rows = footer_row_count(new_files)
+        new_rows = footer_row_count(staged_files)
         if new_rows != old_rows:
-            for f in new_files:
-                os.remove(f)
             raise RuntimeError(
                 f"compaction row mismatch in {rel}: {new_rows} != {old_rows}"
             )
-        return rel, files, new_files, old_rows
+        return rel, pdir, files, staged_files, old_rows
 
     results = []
-    if plans:
-        with ThreadPoolExecutor(max_workers=min(max_concurrent, len(plans))) as pool:
-            results = list(pool.map(rewrite, plans))
-    shutil.rmtree(staging, ignore_errors=True)
+    promoted: list[str] = []
+    try:
+        staged = []
+        if plans:
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrent, len(plans))
+            ) as pool:
+                # pool.map re-raises the first worker exception -> the
+                # promote phase below never runs on a partial rewrite
+                staged = list(pool.map(rewrite, plans))
+        # promote phase: every partition verified, now swap names in
+        for rel, pdir, files, staged_files, old_rows in staged:
+            new_files = []
+            for src in staged_files:
+                dst = os.path.join(pdir, f"{compact_id}-{os.path.basename(src)}")
+                os.replace(src, dst)
+                promoted.append(dst)
+                new_files.append(dst)
+            results.append((rel, files, new_files, old_rows))
+    except BaseException:
+        # an exception mid-promote (or in any rewrite) must not leave a
+        # partition readable twice: remove whatever this run promoted
+        # (a hard crash instead is healed by _rollback_uncommitted next
+        # run — the id is not yet in the manifest)
+        for f in promoted:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
     summary = {
         "chunk_id": compact_id,

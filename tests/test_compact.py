@@ -106,6 +106,77 @@ def test_uncommitted_compaction_rolled_back(spark, loaded):
     assert len(_row_multiset(spark, loaded)) < len(before)
 
 
+def test_uncommitted_chunk_excluded_from_compaction(
+    spark, tiny_input, tmp_path_factory
+):
+    """Files of a chunk that crashed between promote and manifest commit
+    must NOT be compaction sources: baking them into a compacted file
+    would survive the resume's chunk rollback and duplicate the chunk's
+    rows when it re-processes."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("compact_uncommitted"))
+    run_pipeline(spark, tiny_input, out, n_chunks=2)
+    clean = _row_multiset(spark, out)
+    d = next(
+        dd
+        for dd in _partition_dirs(out)
+        if len(glob.glob(os.path.join(dd, "*.parquet"))) >= 2
+    )
+    src = glob.glob(os.path.join(d, "*.parquet"))[0]
+    ghost = os.path.join(d, "chunk-77777-part-ghost.parquet")
+    shutil.copy(src, ghost)
+
+    s = compact_sinks(spark, out, target_file_bytes=1 << 30)
+    assert s["partitions_rewritten"] > 0
+    # the uncommitted file is untouched — the resume owns its rollback
+    assert os.path.exists(ghost)
+    os.remove(ghost)  # what the resume's remove_chunk would do
+    assert _row_multiset(spark, out) == clean  # no baked-in duplicates
+
+
+def test_partial_failure_leaves_live_dirs_untouched(
+    spark, tiny_input, tmp_path_factory
+):
+    """One partition's rewrite failing must abort the WHOLE compaction
+    with every live directory byte-identical (verify happens in staging,
+    promote only after all partitions verified) — no window where a
+    reader double-counts a partition that was promoted before a sibling
+    failed."""
+    out = str(tmp_path_factory.mktemp("compact_partial"))
+    run_pipeline(spark, tiny_input, out, n_chunks=3)
+
+    def snapshot():
+        return {
+            d: sorted(
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+            for d in _partition_dirs(out)
+        }
+
+    before = snapshot()
+    victim_dir = next(
+        d for d, files in before.items() if len(files) >= 2
+    )
+    victim = sorted(glob.glob(os.path.join(victim_dir, "*.parquet")))[0]
+    orig = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        compact_sinks(spark, out, target_file_bytes=1 << 30)
+    assert snapshot() == before  # nothing promoted, nothing deleted
+    assert not glob.glob(
+        os.path.join(out, "data", "**", "compact-*.parquet"), recursive=True
+    )
+    assert not os.path.exists(os.path.join(out, "_staging", "compact-00000"))
+    # heal the corruption -> the same compaction now succeeds
+    with open(victim, "wb") as fh:
+        fh.write(orig)
+    s = compact_sinks(spark, out, target_file_bytes=1 << 30)
+    assert s["partitions_rewritten"] > 0
+
+
 def test_run_pipeline_compact_after(spark, tiny_input, tmp_path_factory):
     """compact_after=True = the reference's rebuild-after-load: chunks
     land, then one compaction pass; results identical to a plain load."""
