@@ -35,29 +35,10 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Predicted language = argmax stopword hits, fixed tie priority."""
-    scored = lang_scores(df, text_col)
-    pred = None
-    best = None
-    for lang in LANG_PRIORITY:
-        s = F.col(f"score_{lang}")
-        if pred is None:
-            pred, best = F.lit(lang), s
-        else:
-            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-            best = F.when(s > best, s).otherwise(best)
-    return scored.withColumn("predicted_lang", pred).withColumn("best_score", best)
-
-
-def lang_pred_cols(text_col: str = "text") -> list:
-    """(predicted_lang, best_score) as composable Columns — the same
-    argmax-with-fixed-tie-priority as ``lang_id``, built inline so a
-    one-pass profile select needs no score_* intermediate columns."""
-    scores = {
-        lang: _stopword_count(F.col(text_col), words)
-        for lang, words in LANG_STOPWORDS.items()
-    }
+def _argmax_lang(scores: dict) -> tuple:
+    """(predicted_lang, best_score) Columns from per-language score
+    Columns — THE argmax-with-fixed-tie-priority, shared by ``lang_id``
+    and ``lang_pred_cols`` so the tie rule cannot desynchronize."""
     pred = None
     best = None
     for lang in LANG_PRIORITY:
@@ -67,6 +48,28 @@ def lang_pred_cols(text_col: str = "text") -> list:
         else:
             pred = F.when(s > best, F.lit(lang)).otherwise(pred)
             best = F.when(s > best, s).otherwise(best)
+    return pred, best
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax stopword hits, fixed tie priority."""
+    scored = lang_scores(df, text_col)
+    pred, best = _argmax_lang(
+        {lang: F.col(f"score_{lang}") for lang in LANG_STOPWORDS}
+    )
+    return scored.withColumn("predicted_lang", pred).withColumn("best_score", best)
+
+
+def lang_pred_cols(text_col: str = "text") -> list:
+    """(predicted_lang, best_score) as composable Columns — the same
+    argmax as ``lang_id`` (shared ``_argmax_lang``), built inline so a
+    one-pass profile select needs no score_* intermediate columns."""
+    pred, best = _argmax_lang(
+        {
+            lang: _stopword_count(F.col(text_col), words)
+            for lang, words in LANG_STOPWORDS.items()
+        }
+    )
     return [pred.alias("predicted_lang"), best.alias("best_score")]
 
 
@@ -91,22 +94,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Integer-only outputs (x100 fixed-point for ratios) so results are
     engine-portable for the oracle comparison.
     """
+    return df.select("doc_id", *quality_feature_cols(text_col))
+
+
+def quality_feature_cols(text_col: str = "text") -> list:
+    """The quality-feature output as composable Columns — the single
+    source ``quality_features`` and the merged ``doc_stats`` both build
+    from (a future tweak cannot desynchronize them)."""
     t = F.col(text_col)
-    words = F.split(t, " ")
-    n_words = F.size(words)
+    n_words = F.size(F.split(t, " "))
     n_chars = F.length(t)
     alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     punct_chars = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     en_stop = _stopword_count(t, LANG_STOPWORDS["en"])
-    return df.select(
-        "doc_id",
+    return [
         n_words.alias("n_words"),
         n_chars.alias("n_chars_calc"),
         F.floor(F.lit(100.0) * alpha_chars / n_chars).cast("long").alias("alpha_ratio_x100"),
         F.floor(F.lit(100.0) * punct_chars / n_chars).cast("long").alias("punct_ratio_x100"),
         F.floor(F.lit(100.0) * en_stop / n_words).cast("long").alias("stopword_ratio_x100"),
         quality_gate_expr(text_col).alias("is_high_quality"),
-    )
+    ]
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -116,16 +124,20 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     GPT-2-style pre-tokenizer); the estimate column is chars/4 — the
     standard quick sizing heuristic for training-data budgeting.
     """
+    return df.select("doc_id", *token_count_cols(text_col))
+
+
+def token_count_cols(text_col: str = "text") -> list:
+    """The token-count output as composable Columns (shared by
+    ``token_counts`` and ``doc_stats``)."""
     t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
-    bpe_pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
-    est = F.ceil(F.length(t) / F.lit(4.0)).cast("long")
-    return df.select(
-        "doc_id",
-        ws.alias("ws_tokens"),
-        bpe_pieces.alias("bpe_pieces"),
-        est.alias("chars_div4"),
-    )
+    return [
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).alias(
+            "bpe_pieces"
+        ),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("chars_div4"),
+    ]
 
 
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -137,27 +149,11 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``token_counts``, ``lang_id``) but the driver query runs this
     combined form.
     """
-    t = F.col(text_col)
-    words = F.split(t, " ")
-    n_words = F.size(words)
-    n_chars = F.length(t)
-    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct_chars = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    en_stop = _stopword_count(t, LANG_STOPWORDS["en"])
-    ws = F.size(F.split(F.trim(t), r"\s+"))
-    bpe_pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
     return df.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars_calc"),
-        F.floor(F.lit(100.0) * alpha_chars / n_chars).cast("long").alias("alpha_ratio_x100"),
-        F.floor(F.lit(100.0) * punct_chars / n_chars).cast("long").alias("punct_ratio_x100"),
-        F.floor(F.lit(100.0) * en_stop / n_words).cast("long").alias("stopword_ratio_x100"),
-        quality_gate_expr(text_col).alias("is_high_quality"),
-        ws.alias("ws_tokens"),
-        bpe_pieces.alias("bpe_pieces"),
-        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("chars_div4"),
+        *quality_feature_cols(text_col),
+        *token_count_cols(text_col),
         *lang_pred_cols(text_col),
     )
 

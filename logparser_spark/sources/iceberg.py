@@ -114,8 +114,14 @@ def rewrite_data_files_sql(
     )
     args = [f"table => '{table}'", "strategy => 'binpack'", f"options => map({opts})"]
     if where is not None:
-        if "'" in where:
-            raise ValueError("where clause must not contain single quotes")
+        # backslash matters too: with default escapedStringLiterals a
+        # trailing \ escapes the closing quote and breaks out of the
+        # literal (failing loudly beats quoting, same policy as the
+        # identifier guard)
+        if "'" in where or "\\" in where:
+            raise ValueError(
+                "where clause must not contain single quotes or backslashes"
+            )
         args.append(f"where => '{where}'")
     return f"CALL {catalog}.system.rewrite_data_files({', '.join(args)})"
 
