@@ -50,7 +50,13 @@ def _dedup_fn(
     n = 0
     for pdf in pdfs:
         n += len(pdf)
-        cand = pdf.loc[pdf["doc_id"].idxmin()]
+        # rows with NULL doc_id count toward the occurrence total but
+        # can never be the keeper (idxmin on an all-NaN series would
+        # raise and kill the whole streaming query on one bad record)
+        ids = pdf["doc_id"]
+        if not ids.notna().any():
+            continue
+        cand = pdf.loc[ids.idxmin()]
         if first is None or cand["doc_id"] < first["doc_id"]:
             first = cand
     state.update((seen + n,))

@@ -24,9 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logparser_spark.functions.classify import category_expr
-from logparser_spark.functions.parse import with_parsed
-from logparser_spark.operators.enrich import enrich, load_dims
+from logparser_spark.plans.pipeline import build_routed
 from logparser_spark.sources.sequences import RAW_SCHEMA
 
 
@@ -34,21 +32,24 @@ def read_sequence_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     reader = spark.readStream.schema(RAW_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # an explicit 0 must fail loudly, not silently ingest every
+        # available file in one unbounded micro-batch (the exact OOM
+        # this throttle exists to prevent)
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
 
 
 def build_routed_stream(spark: SparkSession, raw: DataFrame) -> DataFrame:
-    """Identical lineage to plans.pipeline.build_routed, streaming-safe."""
-    parsed = with_parsed(raw)
-    enriched = enrich(parsed, load_dims(spark))
-    return enriched.withColumn(
-        "category",
-        category_expr(
-            F.col("valid"), F.coalesce(F.col("action"), F.lit("")), F.col("status_code")
-        ),
-    )
+    """THE batch routing plan applied to a stream — literally the same
+    function (``plans.pipeline.build_routed`` is streaming-safe: pure
+    projections + a broadcast dim join), so batch/stream routing cannot
+    diverge."""
+    return build_routed(spark, raw)
 
 
 def start_routed_sink(

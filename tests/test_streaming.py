@@ -82,3 +82,11 @@ def test_windowed_counts_match_batch(spark, tiny_input, stream_out):
     # quarantine rows have null time -> excluded from windowed agg in both
     assert len(got) > 0
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_zero_files_per_trigger_rejected(spark, tiny_input):
+    """0 must fail loudly — silently dropping the option would ingest
+    every available file in one unbounded micro-batch, the exact OOM
+    the throttle exists to prevent."""
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_sequence_stream(spark, tiny_input, max_files_per_trigger=0)

@@ -95,3 +95,30 @@ def test_dedup_tolerates_null_text(spark, dirs):
     }
     assert rows[6] == (rows[6][0], 2)
     assert rows[5][0] is None and rows[5][1] == 0
+
+
+def test_dedup_tolerates_null_doc_id(spark, dirs):
+    """A NULL doc_id row must count toward occurrences but never crash
+    the query (idxmin over an all-NaN group raises) nor become keeper;
+    a hash seen ONLY with null ids emits nothing."""
+    src, out = dirs
+    _write_docs(
+        spark,
+        src,
+        [
+            (None, "dup text", "en", "s", 8),   # null id, same hash as below
+            (7, "dup text", "en", "s", 8),      # real keeper
+            (None, "null only", "en", "s", 9),  # hash with ONLY null ids
+            (3, "clean", "en", "s", 5),
+        ],
+    )
+    _drain(spark, src, out)
+    got = _keepers(spark, out)
+    import pyspark.sql.functions as F
+
+    h = {r.t: r.h for r in spark.createDataFrame(
+        [("dup text",), ("clean",)], "t string"
+    ).select("t", F.md5("t").alias("h")).collect()}
+    assert got[h["dup text"]] == 7
+    assert got[h["clean"]] == 3
+    assert len(got) == 2  # the null-only hash emitted nothing
