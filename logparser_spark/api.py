@@ -40,11 +40,14 @@ class LogFilter:
     search: str | None = None  # url OR domain contains
 
     def is_empty(self) -> bool:
-        return all(
-            v is None
-            for v in (
+        """True when ``apply`` would add no predicate — the SAME
+        truthiness test apply uses, so an empty-string field (an HTTP
+        layer's absent query param) keeps the precomputed fast path
+        instead of paying a full live scan to return identical rows."""
+        return not any(
+            (
                 self.time_from, self.time_to, self.ip, self.username,
-                self.status_code, self.action, self.search,
+                self.status_code is not None, self.action, self.search,
             )
         )
 
@@ -77,28 +80,48 @@ class LogPipelineAPI:
         df = read_sink(self.spark, self.root).filter(F.col("valid") == 1)
         return flt.apply(df) if flt else df
 
-    def _summary(self, name: str) -> DataFrame | None:
-        path = os.path.join(self.root, "summary", name)
-        return self.spark.read.parquet(path) if os.path.exists(path) else None
-
-    def _summary_rows(self, name: str) -> int:
-        """Row count of a summary table WITHOUT a Spark job: the
-        aggregate stage records counts in summary/_k.json at write
-        time; parquet footers are the fallback for older outputs."""
-        import glob
+    def _summary_meta(self, name: str) -> dict | None:
+        """The summary's commit marker (written inside the dir before
+        the atomic rename publish): {"rows": n, "exhaustive": bool}.
+        None = absent or uncommitted (a partial dir from a crashed
+        aggregate stage has no marker) -> callers fall back to live
+        aggregation, never to silently-partial results."""
         import json
 
-        kpath = os.path.join(self.root, "summary", "_k.json")
-        if os.path.exists(kpath):
-            with open(kpath) as fh:
-                ks = json.load(fh)
-            if name in ks:
-                return ks[name]
+        p = os.path.join(self.root, "summary", name, "_meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _summary(self, name: str) -> DataFrame | None:
+        if self._summary_meta(name) is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.root, "summary", name))
+
+    def _summary_rows(self, name: str) -> int:
+        """Row count of a summary table WITHOUT a Spark job (from the
+        commit marker; parquet footers as a defensive fallback)."""
+        meta = self._summary_meta(name)
+        if meta is not None:
+            return meta["rows"]
+        import glob
+
         from logparser_spark.sources.sinks import footer_row_count
 
         return footer_row_count(
             glob.glob(os.path.join(self.root, "summary", name, "*.parquet"))
         )
+
+    def _summary_satisfies_k(self, name: str, k: int) -> bool:
+        """A committed top-K summary can serve a request for k rows if
+        it holds >= k rows OR it was never truncated (fewer distinct
+        keys than its cap — then it IS the complete ranking and remains
+        valid for any k)."""
+        meta = self._summary_meta(name)
+        if meta is None:
+            return False
+        return meta["rows"] >= k or meta.get("exhaustive", False)
 
     # -- GET /api/logs ------------------------------------------------
     def get_logs(
@@ -173,15 +196,15 @@ class LogPipelineAPI:
     # (summaries hold top-100/top-10; a larger k falls back to live)
 
     def get_top_urls(self, flt: LogFilter | None = None, k: int = 100) -> DataFrame:
-        if (flt is None or flt.is_empty()) and (s := self._summary("top_urls")) is not None:
-            if self._summary_rows("top_urls") >= k:
-                return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
+        if (flt is None or flt.is_empty()) and self._summary_satisfies_k("top_urls", k):
+            s = self._summary("top_urls")
+            return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
         return agg.top_urls(self._facts(flt), k=k)
 
     def get_top_users(self, flt: LogFilter | None = None, k: int = 10) -> DataFrame:
-        if (flt is None or flt.is_empty()) and (s := self._summary("top_users")) is not None:
-            if self._summary_rows("top_users") >= k:
-                return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
+        if (flt is None or flt.is_empty()) and self._summary_satisfies_k("top_users", k):
+            s = self._summary("top_users")
+            return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
         return agg.top_users(self._facts(flt), k=k)
 
     # -- GET /api/combined-tops ---------------------------------------

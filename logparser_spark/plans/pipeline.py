@@ -226,16 +226,28 @@ def _run_pipeline_inner(
         "rows_this_run": total_rows,
         "wall_sec": round(_time.monotonic() - t_all, 3),
     }
-    if compact_after and hasattr(writer, "data_dir"):
-        # post-load maintenance (reference: automatic index rebuild);
-        # Iceberg-backed writers compact via writer.compact() instead
-        from logparser_spark.sources.compact import compact_sinks
+    if compact_after:
+        # post-load maintenance (reference: automatic index rebuild).
+        # Dispatch on the writer contract — silently skipping would let
+        # small files accumulate while the caller believes it ran.
+        if hasattr(writer, "compact"):
+            # table-format writers own compaction (Iceberg:
+            # one rewrite_data_files snapshot)
+            writer.compact()
+            out["compaction"] = {"kind": "rewrite_data_files"}
+        elif hasattr(writer, "data_dir"):
+            from logparser_spark.sources.compact import compact_sinks
 
-        c = compact_sinks(spark, out_root)
-        out["compaction"] = {
-            "chunk_id": c["chunk_id"],
-            "partitions_rewritten": c["partitions_rewritten"],
-        }
+            c = compact_sinks(spark, out_root)
+            out["compaction"] = {
+                "chunk_id": c["chunk_id"],
+                "partitions_rewritten": c["partitions_rewritten"],
+            }
+        else:
+            raise ValueError(
+                "compact_after=True but the writer exposes neither "
+                "compact() nor the parquet sink layout (data_dir)"
+            )
     return out
 
 
@@ -269,27 +281,43 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
         "dim_actions": dim_actions,
     }
 
-    def write(item):
-        name, res = item
-        res.write.mode("overwrite").parquet(os.path.join(out_root, "summary", name))
-
-    with ThreadPoolExecutor(max_workers=len(results)) as pool:
-        list(pool.map(write, results.items()))
-
-    # Record each summary's row count (parquet footers — no extra job)
-    # so API fast-path eligibility (k <= rows) never needs a Spark
-    # count() probe per call.
     import glob as _glob
     import json
+    import shutil as _shutil
 
     from logparser_spark.sources.sinks import footer_row_count
 
-    ks = {
-        name: footer_row_count(
-            _glob.glob(os.path.join(out_root, "summary", name, "*.parquet"))
-        )
-        for name in results
-    }
+    # truncation caps of the top-K summaries (run above with defaults):
+    # a result SHORTER than its cap saw every distinct key, so the API
+    # fast path can serve ANY k from it ("exhaustive")
+    k_caps = {"top_urls": 100, "top_users": 10}
+
+    def write(item):
+        """Publish one summary ATOMICALLY: write to a _tmp_ dir, put
+        the row-count/commit marker (_meta.json) INSIDE it, then swap
+        via rename. A crash mid-write leaves either the old committed
+        dir or no dir (API falls back to live aggregation) — never a
+        partial dir a fast path would serve silently-wrong results
+        from. (Spark's overwrite mode alone is delete-then-write with
+        no commit point.)"""
+        name, res = item
+        tmp = os.path.join(out_root, "summary", f"_tmp_{name}")
+        final = os.path.join(out_root, "summary", name)
+        res.write.mode("overwrite").parquet(tmp)
+        rows = footer_row_count(_glob.glob(os.path.join(tmp, "*.parquet")))
+        cap = k_caps.get(name)
+        meta = {"rows": rows, "exhaustive": cap is None or rows < cap}
+        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        _shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        return name, rows
+
+    with ThreadPoolExecutor(max_workers=len(results)) as pool:
+        ks = dict(pool.map(write, results.items()))
+
+    # legacy aggregate count file (per-dir _meta.json is the source of
+    # truth; this keeps older readers working)
     with open(os.path.join(out_root, "summary", "_k.json"), "w") as fh:
         json.dump(ks, fh)
     return results

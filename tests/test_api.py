@@ -130,3 +130,61 @@ def test_summary_rows_recorded_no_spark_count(api):
     ks = json.load(open(kpath))
     assert ks["top_urls"] == api._summary("top_urls").count()
     assert api._summary_rows("top_urls") == ks["top_urls"]
+
+
+def test_empty_string_filter_keeps_fast_path(api):
+    """'' (an HTTP layer's absent query param) must count as empty —
+    is_empty and apply share one truthiness rule, so the call takes the
+    precomputed path instead of a full live scan for identical rows."""
+    assert LogFilter(search="", ip="", action="", time_from="").is_empty()
+    assert LogFilter(search="x").is_empty() is False
+    assert LogFilter(status_code=0).is_empty() is False  # explicit 0 filters
+
+
+def test_top_k_fast_path_serves_any_k_when_exhaustive(api):
+    """A top-K summary holding FEWER rows than its cap saw every
+    distinct key — it is the complete ranking and stays valid for any
+    requested k (no permanent live-scan penalty on small vocabularies)."""
+    meta = api._summary_meta("top_urls")
+    assert meta is not None and set(meta) >= {"rows", "exhaustive"}
+    if not meta["exhaustive"]:
+        pytest.skip("fixture has >= cap distinct urls; exhaustive path not hit")
+    assert api._summary_satisfies_k("top_urls", 10**6)
+    fast = [tuple(r) for r in api.get_top_urls(k=10**6).collect()]
+    from logparser_spark.operators import aggregates as agg
+
+    live = [tuple(r) for r in agg.top_urls(api._facts(None), k=10**6).collect()]
+    assert fast == live
+
+
+def test_partial_summary_dir_falls_back_to_live(api):
+    """A summary dir without its commit marker (a crashed aggregate
+    stage's partial overwrite) must be treated as absent — the call
+    falls back to live aggregation, never serves a partial table."""
+    import os
+    import shutil
+
+    marker = os.path.join(api.root, "summary", "top_users", "_meta.json")
+    bak = marker + ".bak"
+    shutil.move(marker, bak)
+    try:
+        assert api._summary("top_users") is None
+        live = [tuple(r) for r in api.get_top_users(k=10).collect()]
+    finally:
+        shutil.move(bak, marker)
+    fast = [tuple(r) for r in api.get_top_users(k=10).collect()]
+    assert live == fast
+
+
+def test_summary_satisfies_k_logic(spark, tmp_path):
+    """Deterministic pin of fast-path eligibility: rows >= k OR the
+    summary is exhaustive (never truncated); no marker -> ineligible."""
+    api2 = LogPipelineAPI(spark, str(tmp_path))
+    d = tmp_path / "summary" / "top_urls"
+    d.mkdir(parents=True)
+    assert not api2._summary_satisfies_k("top_urls", 1)  # no marker
+    (d / "_meta.json").write_text('{"rows": 60, "exhaustive": true}')
+    assert api2._summary_satisfies_k("top_urls", 10**6)
+    (d / "_meta.json").write_text('{"rows": 100, "exhaustive": false}')
+    assert api2._summary_satisfies_k("top_urls", 100)
+    assert not api2._summary_satisfies_k("top_urls", 101)
