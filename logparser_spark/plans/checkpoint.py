@@ -12,15 +12,21 @@ sink files but before its manifest record is rolled back by filename
 prefix (MultiSinkWriter.remove_chunk) and re-run — end state identical
 to an uninterrupted run (tested).
 
-Appends are staged through a temp file + fsync + atomic rename of the
-whole manifest so a torn write cannot corrupt history.
+Commits are O(1): one appended line + fsync per chunk (a rewrite-whole-
+file commit is O(n) per chunk = O(n²) total manifest I/O across a load
+with thousands of chunks — a measurable driver stall at the target
+scale). Torn-write safety moves to the READER: a crash mid-append can
+only tear the FINAL line, the reader skips any unparseable line (that
+chunk never committed, so it is rolled back and re-run — identical to
+crashing just before the commit), and the next commit terminates a torn
+tail with a newline so the fragment can never splice into a later
+record.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 
 class Manifest:
@@ -34,24 +40,29 @@ class Manifest:
             with open(self.path) as f:
                 for ln in f:
                     ln = ln.strip()
-                    if ln:
+                    if not ln:
+                        continue
+                    try:
                         rec = json.loads(ln)
-                        done[rec["chunk_id"]] = rec
+                    except ValueError:
+                        # torn append from a crash mid-commit: the
+                        # record never committed; its chunk re-runs
+                        # after the usual filename-prefix rollback
+                        continue
+                    done[rec["chunk_id"]] = rec
         return done
 
     def commit_chunk(self, record: dict) -> None:
-        existing = b""
-        if os.path.exists(self.path):
-            with open(self.path, "rb") as f:
-                existing = f.read()
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(existing)
-                f.write((json.dumps(record, sort_keys=True) + "\n").encode())
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        line = (json.dumps(record, sort_keys=True) + "\n").encode()
+        with open(self.path, "ab") as f:
+            # terminate a torn fragment left by a crashed commit so
+            # this record starts on its own line (the fragment becomes
+            # one unparseable line the reader skips)
+            if f.tell() > 0:
+                with open(self.path, "rb") as r:
+                    r.seek(-1, os.SEEK_END)
+                    if r.read(1) != b"\n":
+                        f.write(b"\n")
+            f.write(line)
+            f.flush()
+            os.fsync(f.fileno())

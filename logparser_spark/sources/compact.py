@@ -163,11 +163,22 @@ def compact_sinks(
     if os.path.exists(staging):
         shutil.rmtree(staging)
 
+    # Spark job-group/description are THREAD-local properties: jobs
+    # submitted from pool workers would escape the caller's job group
+    # (progress sampling + cancel_job_group would miss them), so capture
+    # the caller's group here and re-set it inside each worker.
+    sc = spark.sparkContext
+    _group = sc.getLocalProperty("spark.jobGroup.id")
+    _desc = sc.getLocalProperty("spark.job.description")
+    _interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+
     def rewrite(plan):
         """Rewrite one partition into staging and verify it THERE —
         no live directory is touched, so a failure in any partition
         (this thread or a sibling) aborts the whole compaction with
         every partition intact."""
+        if _group is not None:
+            sc.setJobGroup(_group, _desc, _interrupt == "true")
         pdir, files, n_out = plan
         rel = os.path.relpath(pdir, _data_dir(out_root))
         stage = os.path.join(staging, rel)

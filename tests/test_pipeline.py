@@ -3,6 +3,8 @@
 routed-row set equality per sink, per-sink aggregate equality, top-K
 equality with pinned tie-breaks, and kill/resume idempotence."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -269,3 +271,96 @@ print(json.dumps({{
     assert proc.returncode == 0, proc.stderr[-3000:]
     rec = json.loads(proc.stdout.strip().splitlines()[-1])
     assert rec["manifest_rows"] == rec["actual_rows"] == 10_000
+
+
+def test_manifest_commit_is_append_and_torn_tail_tolerated(tmp_path):
+    """Commits are O(1) appends; a torn final line (crash mid-commit)
+    reads as 'not committed' and can never splice into the NEXT commit's
+    record."""
+    from logparser_spark.plans.checkpoint import Manifest
+
+    m = Manifest(str(tmp_path))
+    m.commit_chunk({"chunk_id": "chunk-00000", "rows": 1})
+    size_one = os.path.getsize(m.path)
+    m.commit_chunk({"chunk_id": "chunk-00001", "rows": 2})
+    # append-only: the first record's bytes are a prefix, untouched
+    assert os.path.getsize(m.path) > size_one
+    with open(m.path, "rb") as fh:
+        assert fh.read(size_one).decode().splitlines()[0].startswith("{")
+
+    # simulate a crash mid-append: torn fragment, no trailing newline
+    with open(m.path, "ab") as fh:
+        fh.write(b'{"chunk_id": "chunk-000')
+    done = m.completed_chunks()
+    assert set(done) == {"chunk-00000", "chunk-00001"}  # torn = not committed
+
+    # the next commit must terminate the fragment, not splice into it
+    m.commit_chunk({"chunk_id": "chunk-00002", "rows": 3})
+    done = m.completed_chunks()
+    assert set(done) == {"chunk-00000", "chunk-00001", "chunk-00002"}
+    assert done["chunk-00002"]["rows"] == 3
+
+
+def test_compact_after_dispatches_to_writer_compact(spark, tiny_input, tmp_path_factory):
+    """A table-format writer (compact() method, no data_dir) must get
+    its own compaction called — not silently skipped, not routed to the
+    parquet-layout pass."""
+    from logparser_spark.sources.sinks import MultiSinkWriter
+
+    out = str(tmp_path_factory.mktemp("compact_dispatch"))
+
+    class TableFormatWriter:
+        """Minimal writer contract + compact(), deliberately WITHOUT
+        data_dir (forwards storage to a real parquet writer)."""
+
+        def __init__(self, root):
+            self._inner = MultiSinkWriter(root)
+            self.compacted = False
+
+        def write_chunk(self, df, chunk_id):
+            return self._inner.write_chunk(df, chunk_id)
+
+        def remove_chunk(self, chunk_id):
+            self._inner.remove_chunk(chunk_id)
+
+        def exact_chunk_counts(self, chunk_id):
+            return self._inner.exact_chunk_counts(chunk_id)
+
+        def partition_metrics(self, chunk_id):
+            return self._inner.partition_metrics(chunk_id)
+
+        def compact(self):
+            self.compacted = True
+
+    w = TableFormatWriter(out)
+    res = run_pipeline(
+        spark, tiny_input, out, n_chunks=1, writer=w, compact_after=True
+    )
+    assert w.compacted
+    assert res["compaction"] == {"kind": "rewrite_data_files"}
+
+    class BareWriter:
+        """Writer contract WITHOUT compact() or data_dir: asking for
+        compact_after must fail loudly, never silently skip."""
+
+        def __init__(self, root):
+            self._inner = MultiSinkWriter(root)
+
+        def write_chunk(self, df, chunk_id):
+            return self._inner.write_chunk(df, chunk_id)
+
+        def remove_chunk(self, chunk_id):
+            self._inner.remove_chunk(chunk_id)
+
+        def exact_chunk_counts(self, chunk_id):
+            return self._inner.exact_chunk_counts(chunk_id)
+
+        def partition_metrics(self, chunk_id):
+            return self._inner.partition_metrics(chunk_id)
+
+    out2 = str(tmp_path_factory.mktemp("compact_dispatch2"))
+    with pytest.raises(ValueError, match="compact_after"):
+        run_pipeline(
+            spark, tiny_input, out2, n_chunks=1,
+            writer=BareWriter(out2), compact_after=True,
+        )
