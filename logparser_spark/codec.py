@@ -28,12 +28,18 @@ def encode_text(text: str) -> list[int]:
 
 def decode_tokens(tokens) -> str:
     """Token array -> text. Accepts list/ndarray. Permissive: code
-    points outside chr()'s range (corrupt int32s) become U+FFFD so one
-    bad row quarantines at parse time instead of crashing the stage."""
+    points outside chr()'s range (corrupt int32s) AND surrogates
+    (U+D800-DFFF — chr() accepts them but the resulting str cannot be
+    UTF-8 encoded, so it would crash the first pa.array() downstream)
+    become U+FFFD so one bad row quarantines at parse time instead of
+    crashing the stage."""
 
     def ch(t) -> str:
         try:
-            return chr(int(t))
+            t = int(t)
+            if 0xD800 <= t <= 0xDFFF:
+                return "�"
+            return chr(t)
         except (ValueError, OverflowError):
             return "�"
 

@@ -611,8 +611,10 @@ def parse_tokens_map_in_arrow(df, tokens_col: str = "tokens"):
 
     def gen(batches):
         for batch in batches:
-            lines = _decode_list_array(batch.column(tok_idx))
-            parsed = parse_lines_arrow(pa.array(lines, type=pa.string()))
+            # shared decoder: keeps the all-ASCII zero-copy fast path
+            # (and the surrogate->U+FFFD fallback) in ONE place
+            lines = _decode_list_array_to_arrow(batch.column(tok_idx))
+            parsed = parse_lines_arrow(lines)
             arrays = list(batch.columns) + [
                 parsed[f.name] for f in PARSED_SCHEMA.fields
             ]

@@ -84,16 +84,20 @@ def normalize_url_expr(url: Column | str) -> Column:
     rebuilt = F.concat(scheme_part, host, port_part, path_part, query_part)
     # pass-through for the reference's null-URL sentinel, anything the
     # grammar can't place a host for, bracketed IPv6 authorities (":"
-    # inside the host breaks the component split), and authorities
-    # carrying userinfo ("user@host" — userinfo is case-SENSITIVE and
-    # "u:p@h" misparses the simple grammar) — never emit a mangled URL
+    # inside the host breaks the component split), authorities carrying
+    # userinfo ("user@host" — userinfo is case-SENSITIVE and "u:p@h"
+    # misparses the simple grammar), and a non-empty path that doesn't
+    # start with "/" ("h.com:80abc" splits as port 80 + path "abc";
+    # stripping the port would concatenate host+path into a DIFFERENT
+    # host) — never emit a mangled URL
     return F.when(
         (u == "-")
         | (u == "")
         | u.isNull()
         | (host == "")
         | authority.startswith("[")
-        | authority.contains("@"),
+        | authority.contains("@")
+        | ((path != "") & ~path.startswith("/")),
         u,
     ).otherwise(rebuilt)
 

@@ -77,9 +77,14 @@ def hourly_hist(df: DataFrame) -> DataFrame:
     happens on the (category, hour) aggregate itself: collapse each
     category's sparse counts into a map, then explode hours 0-23 against
     it. The second groupBy shuffles only #categories x 24 rows."""
+    # UTC hour via epoch arithmetic, NOT F.hour(): hour()/date_format()
+    # honor spark.sql.session.timeZone, so a consumer with an unpinned
+    # session would bucket the same row differently than the UTC
+    # contract (and than data written under a pinned session).
+    utc_hour = F.expr("cast((unix_timestamp(time) div 3600) % 24 as int)")
     counts = (
         df.filter(F.col("valid") == 1)
-        .groupBy("category", F.hour("time").cast("int").alias("hour"))
+        .groupBy("category", utc_hour.alias("hour"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     dense = counts.groupBy("category").agg(
@@ -230,12 +235,17 @@ def distinct_dims(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def daily_rollup(df: DataFrame) -> DataFrame:
     """A12: the declared matview GROUP BY username, status_code, day
     (schema.sql:40-47)."""
+    # UTC midnight via epoch arithmetic (date_trunc honors the session
+    # timezone — see hourly_hist)
+    utc_day = F.timestamp_seconds(
+        F.expr("(unix_timestamp(time) div 86400) * 86400")
+    )
     return (
         df.filter(F.col("valid") == 1)
         .groupBy(
             "username",
             "status_code",
-            F.date_trunc("day", F.col("time")).alias("day"),
+            utc_day.alias("day"),
         )
         .agg(F.count(F.lit(1)).alias("request_count"))
     )

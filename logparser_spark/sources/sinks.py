@@ -46,12 +46,43 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SINK_PARTITION_COLS = ["category", "day"]
+
+# Chunk ids become filename prefixes AND glob patterns (promote,
+# rollback, footer counts): glob metacharacters would silently match
+# nothing (remove_chunk deleting zero files after a crash = duplicate
+# rows on resume), so reject them loudly. Note the ids must also not be
+# '-'-prefix of one another ("a" vs "a-b" — "a-*" would match both);
+# the pipeline's fixed-width zero-padded ids guarantee that.
+_SAFE_CHUNK_RX = re.compile(r"[A-Za-z0-9_.\-]+")
+
+
+def _check_chunk_id(chunk_id: str) -> str:
+    if not _SAFE_CHUNK_RX.fullmatch(chunk_id):
+        raise ValueError(
+            f"chunk_id {chunk_id!r} must match [A-Za-z0-9_.-]+ "
+            "(it is used as a filename prefix and a glob pattern)"
+        )
+    return chunk_id
+
+
+def day_expr(time_col: str = "time"):
+    """The UTC ``day`` partition key, session-timezone-PROOF: pure
+    epoch arithmetic instead of date_format(), which honors
+    spark.sql.session.timeZone — an unpinned consumer session must not
+    split one UTC day's rows across two partition directories of the
+    same sink. Shared by the batch writer and the streaming sink so
+    their layouts can never diverge."""
+    return F.expr(
+        f"cast(date_add(date '1970-01-01', "
+        f"cast(unix_timestamp({time_col}) div 86400 as int)) as string)"
+    )
 
 
 class MultiSinkWriter:
@@ -77,16 +108,21 @@ class MultiSinkWriter:
         self.max_records_per_file = max_records_per_file
 
     def write_chunk(self, df: DataFrame, chunk_id: str) -> int:
-        """Write one chunk of routed rows; returns rows written.
+        """Write one chunk of routed rows; returns the number of FILES
+        promoted (row counts come from ``exact_chunk_counts`` — footer
+        metadata — because task-side counters can overcount on stage
+        reattempts; the Iceberg twin returns a snapshot id, so callers
+        must not assign meaning to this return beyond logging).
 
         df must carry ``category`` and ``time`` columns; ``day`` is
         derived here so the partition expression lives in one place.
         """
+        _check_chunk_id(chunk_id)
         staged = os.path.join(self.staging_root, chunk_id)
         if os.path.exists(staged):
             shutil.rmtree(staged)  # leftover from a crashed attempt
 
-        out = df.withColumn("day", F.date_format("time", "yyyy-MM-dd"))
+        out = df.withColumn("day", day_expr("time"))
         if self.pre_shuffle:
             # Clustered layout: minimal files/partition, salt splits hot
             # categories across tasks. Costs a full-payload shuffle.
@@ -144,6 +180,7 @@ class MultiSinkWriter:
         chunk's manifest entry as the per-partition lineage the north
         star asks for (and the input to skew diagnostics: a partition
         dir with 100x the rows of its siblings is a routing hot key)."""
+        _check_chunk_id(chunk_id)
         out: dict[str, dict[str, int]] = {}
         for f in glob.glob(
             os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"),
@@ -158,6 +195,7 @@ class MultiSinkWriter:
 
     def remove_chunk(self, chunk_id: str) -> None:
         """Idempotent undo (re-run of a chunk that crashed mid-promote)."""
+        _check_chunk_id(chunk_id)
         for f in glob.glob(
             os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"), recursive=True
         ):

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from logparser_spark.plans.pipeline import build_routed
 from logparser_spark.sources.sequences import RAW_SCHEMA
+from logparser_spark.sources.sinks import day_expr
 
 
 def read_sequence_stream(
@@ -58,7 +59,7 @@ def start_routed_sink(
     """Continuous multi-sink writer: partitioned append file sink with
     its own checkpoint (exactly-once per file via the sink log)."""
     writer = (
-        routed.withColumn("day", F.date_format("time", "yyyy-MM-dd"))
+        routed.withColumn("day", day_expr("time"))
         .writeStream.format("parquet")
         .option("path", os.path.join(out_root, "data"))
         .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))

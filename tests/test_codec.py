@@ -85,3 +85,29 @@ def test_decode_list_array_handles_sliced_views():
     # non-ASCII sliced view exercises the utf-32 fallback path
     uni = pa.array([[0x65E5], [0x672C, 65], [66]], type=pa.list_(pa.int32()))
     assert _decode_list_array_to_arrow(uni.slice(1)).to_pylist() == ["本A", "B"]
+
+
+def test_surrogate_tokens_quarantine_not_crash(spark):
+    """A lone-surrogate code point in a tokens array must become U+FFFD
+    (decode_tokens) and quarantine its row through BOTH zero-copy parse
+    paths — chr(0xD800) builds a str that pa.array() cannot UTF-8
+    encode, which used to kill the whole stage on one bad row."""
+    assert decode_tokens([0xD800, 65]) == "�A"
+    assert decode_tokens(np.array([0xDFFF], dtype=np.int32)) == "�"
+
+    from logparser_spark.functions.parse import (
+        parse_tokens_map_in_arrow,
+        with_parsed,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("d1", [0xD800, 65, 32], 3, "s"),
+            ("d2", list(map(ord, "plain text")), 10, "s"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    for path_df in (with_parsed(raw), parse_tokens_map_in_arrow(raw)):
+        rows = {r.doc_id: r.valid for r in path_df.select("doc_id", "valid").collect()}
+        assert rows["d1"] == 0  # quarantined, stage alive
+        assert rows["d2"] == 0 or rows["d2"] == 1  # parsed normally (invalid line -> 0 is fine)

@@ -364,3 +364,44 @@ def test_compact_after_dispatches_to_writer_compact(spark, tiny_input, tmp_path_
             spark, tiny_input, out2, n_chunks=1,
             writer=BareWriter(out2), compact_after=True,
         )
+
+
+def test_day_and_hour_buckets_are_session_timezone_proof(spark):
+    """hour/day derivations must be UTC by construction (epoch
+    arithmetic), not via hour()/date_format()/date_trunc() which honor
+    spark.sql.session.timeZone — an unpinned consumer session must
+    bucket identically to the pinned one."""
+    import datetime as dt
+
+    from logparser_spark.sources.sinks import day_expr
+
+    # 2024-01-02T03:00:00Z: in America/New_York this is 22:00 on Jan 1
+    ts = dt.datetime(2024, 1, 2, 3, 0, 0)
+    df = spark.createDataFrame(
+        [("u", 200, ts, "ok", 1)],
+        "username string, status_code int, time timestamp, category string, valid int",
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        d = df.select(day_expr("time").alias("day")).collect()[0].day
+        assert d == "2024-01-02"  # not 2024-01-01
+        h = agg.hourly_hist(df).filter(F.col("row_count") > 0).collect()
+        assert [r.hour for r in h] == [3]  # not 22
+        day = agg.daily_rollup(df).collect()[0].day
+        assert (day.day, day.hour) == (2, 0) or str(day).startswith("2024-01-02")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_chunk_id_with_glob_metacharacters_rejected(spark, tmp_path):
+    """Chunk ids become filename prefixes AND glob patterns; a
+    metacharacter id would make remove_chunk silently delete nothing
+    (duplicate rows after resume), so it must fail loudly."""
+    from logparser_spark.sources.sinks import MultiSinkWriter
+
+    w = MultiSinkWriter(str(tmp_path))
+    for bad in ("run[1]", "a*b", "x?y", "a/b", ""):
+        with pytest.raises(ValueError, match="chunk_id"):
+            w.remove_chunk(bad)
+    w.remove_chunk("chunk-00001")  # valid id on empty sink: no-op, no error

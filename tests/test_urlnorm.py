@@ -33,6 +33,11 @@ CASES = [
     # repeated query key: order is semantics (last-value-wins servers)
     ("http://H.com/x?a=2&a=1", "http://h.com/x?a=2&a=1"),
     ("http://h.com/x?b=1&a=2&b=3", "http://h.com/x?b=1&a=2&b=3"),
+    # a "path" not starting with '/' means the grammar misplaced the
+    # authority boundary ('...:80abc' would rebuild as host+path =
+    # a DIFFERENT host) -> pass through verbatim
+    ("http://example.com:80abc", "http://example.com:80abc"),
+    ("h.com:abc", "h.com:abc"),
 ]
 
 
