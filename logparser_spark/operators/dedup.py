@@ -94,9 +94,14 @@ def _exact_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
+    # no broadcast hint on sa/sb: in the verify path they are sized by
+    # the CANDIDATE doc set, which on a dup-heavy corpus is unbounded —
+    # the same reasoning the docstring gives for the candidate subplan.
+    # AQE converts these to broadcast joins at runtime when the size
+    # stats actually allow it.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard_x1000", F.floor(F.lit(1000.0) * F.col("inter") / union_sz))
         .filter(F.col("inter") / union_sz >= F.lit(threshold))
         # no global sort: output is a pair *set* (downstream compares

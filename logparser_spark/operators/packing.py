@@ -52,10 +52,63 @@ def _with_global_offsets(
 
     Returns (offsets_df, handle_to_unpersist). The local-offset frame
     is persisted by default because it feeds two actions (the base
-    collect and the final plan); at extreme scale prefer
-    persist=False and pay the narrow re-scan instead of the cache.
+    collect and the final plan) and the persist PINS the plan's
+    RDD/RangePartitioner (InMemoryRelation), so evicted blocks
+    recompute under the SAME sampled range boundaries. WITHOUT the
+    persist those two actions are two separate SQL executions whose
+    RangePartitioners sample boundaries with different seeds
+    (seeded on rdd.id) — partition bases from execution 1 applied to
+    execution 2's shifted partitions would silently corrupt offsets.
+    So ``persist=False`` (the extreme-scale path: no 16 B/row cache)
+    switches to a plan that is deterministic ACROSS executions by
+    construction: pid = width_bucket(doc_id) — a pure row function,
+    immune to resampling — with the prefix sum as a per-bucket running
+    window. Balanced when doc_ids are roughly uniform over [min, max]
+    (content-hash or dense ids — the common corpus case); for skewed
+    id SPACES keep the default sampled-range path.
     """
     from pyspark import TaskContext
+
+    if not persist:
+        mm = d.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).first()
+        if mm["mn"] is None:  # empty input
+            return (
+                d.select("doc_id", "n", F.lit(0).cast("long").alias("start")),
+                None,
+            )
+        mn, mx = int(mm["mn"]), int(mm["mx"])
+        # buckets 1..n_parts for v in [mn, mx]; +1 keeps mx in-bound
+        pid = F.expr(f"width_bucket(doc_id, {mn}L, {mx}L + 1L, {n_parts})")
+        b = d.withColumn("pid", pid.cast("int"))
+        totals = {
+            r["pid"]: r["tot"]
+            for r in b.groupBy("pid").agg(F.sum("n").alias("tot")).collect()
+        }
+        bases, acc = [], 0
+        for p in sorted(totals):
+            bases.append((p, acc))
+            acc += int(totals[p])
+        spark = d.sparkSession
+        base_df = spark.createDataFrame(bases or [(0, 0)], "pid int, base long")
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            b.withColumn("local_start", F.sum("n").over(w) - F.col("n"))
+            .join(F.broadcast(base_df), "pid")
+            .select(
+                "doc_id",
+                "n",
+                (F.col("base") + F.col("local_start")).alias("start"),
+            )
+        )
+        return out, None
 
     ranged = d.repartitionByRange(n_parts, "doc_id").sortWithinPartitions("doc_id")
 
@@ -75,15 +128,14 @@ def _with_global_offsets(
                 }
             )
 
-    loc = ranged.mapInPandas(
-        local_offsets, "doc_id long, n long, pid int, local_start long"
-    )
-    handle = None
-    if persist:
-        from logparser_spark.operators.util import track_persist
+    from logparser_spark.operators.util import track_persist
 
-        loc = track_persist(loc)  # released by the harness between queries
-        handle = loc
+    loc = track_persist(  # released by the harness between queries
+        ranged.mapInPandas(
+            local_offsets, "doc_id long, n long, pid int, local_start long"
+        )
+    )
+    handle = loc
     totals = {
         r["pid"]: r["tot"]
         for r in loc.groupBy("pid").agg(F.sum("n").alias("tot")).collect()

@@ -87,7 +87,12 @@ def mix_sample_oracle_where(
         cond = f"{group_col} = {lit(g)}"
         parts.append(cond if thr is None else f"({cond} AND {h} < '{thr}')")
     dthr = rate_to_hex_threshold(default_rate)
-    others = f"({group_col} IS NULL OR {group_col} NOT IN ({', '.join(lit(g) for g in sorted(rates))}))"
+    if rates:
+        others = f"({group_col} IS NULL OR {group_col} NOT IN ({', '.join(lit(g) for g in sorted(rates))}))"
+    else:
+        # empty rates: every row is an "other" (hash_mix_sample uses
+        # lit(True)); "NOT IN ()" would be a SQL syntax error
+        others = "TRUE"
     parts.append(others if dthr is None else f"({others} AND {h} < '{dthr}')")
     return " OR ".join(parts)
 
@@ -158,6 +163,9 @@ def stratified_take(
     the exact global quota. The salt is internal only — the final row
     set depends on nothing but (md5(id), id).
     """
+    for internal in ("__h", "__salt", "__rn"):
+        if internal in df.columns:  # would be silently replaced+dropped
+            raise ValueError(f"reserved column name in input: {internal}")
     h = F.md5(F.col(id_col).cast("string")).alias("__h")
     base = df.withColumn("__h", h).withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salts))

@@ -43,6 +43,15 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first non-NULL vector. 1 for an
+    empty/all-NULL frame — any hyperplanes then work, since there is
+    nothing to bucket and the result is empty either way (first()[0]
+    would instead die with an opaque NoneType subscript)."""
+    r = emb.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    return len(r[0]) if r is not None else 1
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -54,8 +63,16 @@ def _norm(a):
 
 
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Cosine of two array columns; a zero-magnitude vector scores 0.0
+    against everything — matching ``_unit_rows`` in the numpy kernels —
+    instead of dividing by zero (which under Spark 4's default ANSI
+    mode is a job-killing SparkArithmeticException, not a NULL)."""
     av, bv = _as_double(F.col(a)), _as_double(F.col(b))
-    return df.withColumn(out, _dot(av, bv) / (_norm(av) * _norm(bv)))
+    denom = _norm(av) * _norm(bv)
+    return df.withColumn(
+        out,
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(av, bv) / denom),
+    )
 
 
 def brute_topk(
@@ -232,7 +249,7 @@ def cosine_near_dup_lsh(
     """
     emb = spread(emb)
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
     bucket_udf = _bucket_udf(_hyperplanes(dim, n_tables, n_bits, seed))
     b = emb.select(
         F.col(id_col).alias("_id"),
@@ -532,7 +549,7 @@ def lsh_topk(
     """Approximate cosine top-k: union of per-table bucket matches,
     exact re-rank of candidates."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
     bucket_udf = _bucket_udf(planes)
 

@@ -225,7 +225,11 @@ def dup_span_removal(
         .agg(F.sum("seg").alias("n_removed"))
     )
     base = df.select(
-        F.col(id_col).alias("doc_id"), F.size(tokens_col).cast("long").alias("n_tok")
+        F.col(id_col).alias("doc_id"),
+        # NULL tokens count as empty (size(NULL) is NULL) — matching
+        # token_histogram/rarity_score/_window_hash_batch, so the
+        # operator family agrees on the same row
+        F.coalesce(F.size(tokens_col), F.lit(0)).cast("long").alias("n_tok"),
     )
     return base.join(removed, "doc_id", "left").select(
         "doc_id",
@@ -266,7 +270,8 @@ def dup_span_report(
     # surface with n_windows = 0 (and n_tok still reported)
     pos = hashed.select(
         "doc_id",
-        F.size(tokens_col).cast("long").alias("n_tok"),
+        # NULL tokens = empty (see dup_span_removal)
+        F.coalesce(F.size(tokens_col), F.lit(0)).cast("long").alias("n_tok"),
         F.posexplode_outer("win_hashes").alias("i", "h"),
     )
     pos = track_persist(pos)

@@ -335,3 +335,15 @@ def test_doc_stats_equals_individual_operators(spark):
     for i in prof:
         merged = {**qf[i], **tc[i], **li[i]}
         assert prof[i] == {k: merged[k] for k in prof[i]}, i
+
+
+def test_stratified_take_reserved_columns_rejected(spark):
+    """Internal __h/__salt/__rn columns would be silently replaced and
+    dropped; fail fast instead (same contract as asof_join)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, __h string"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        stratified_take(df, quota=1)

@@ -156,3 +156,27 @@ def test_chunk_sliding_rejects_bad_overlap(spark):
 
 def test_sliding_udf_marked_nondeterministic():
     assert packing.sliding_chunk_udf(4, 3).deterministic is False
+
+
+def test_pack_assignments_persist_false_deterministic(spark):
+    """persist=False routes through the re-execution-safe plan (pid is
+    a pure function of doc_id, prefix sum per bucket window) — must
+    equal the persisted range-partition path exactly, including on a
+    sparse/skewed doc_id space and an empty input."""
+    rng = np.random.default_rng(7)
+    docs = {int(i * 97 + 5): int(rng.integers(0, 40)) for i in range(200)}
+    df = spark.createDataFrame(
+        [(i, n) for i, n in docs.items()], "doc_id long, n long"
+    ).repartition(5)
+    a = pack_assignments(df, 64, len_col="n", n_parts=7, persist=True)
+    b = pack_assignments(df, 64, len_col="n", n_parts=7, persist=False)
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    one = spark.createDataFrame([(42, 10)], "doc_id long, n long")
+    got = pack_assignments(one, 4, len_col="n", persist=False).collect()
+    assert sorted(r["chunk_id"] for r in got) == [0, 1, 2]
+
+    empty = spark.createDataFrame([], "doc_id long, n long")
+    out = pack_assignments(empty, 64, len_col="n", n_parts=3, persist=False)
+    assert out.count() == 0 and out.columns == a.columns

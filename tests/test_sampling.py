@@ -117,3 +117,21 @@ def test_curation_funnel_model(spark):
     # doc 1: 10 words, alpha 10/22*100 = 45 < 50 -> gate fail, never present
     assert got == exp
     assert ("de", "s1") not in got
+
+
+def test_oracle_where_empty_rates_valid_sql(spark):
+    """Empty rates dict: hash_mix_sample keeps rows by default_rate
+    alone; the oracle WHERE must be valid SQL (a naive NOT IN () is a
+    parser error) and reproduce the same row set."""
+    df = spark.createDataFrame(_rows(), "doc_id long, lang string")
+    got = sorted(
+        r["doc_id"] for r in hash_mix_sample(df, {}, default_rate=0.25).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", _rows())
+    where = mix_sample_oracle_where({}, default_rate=0.25)
+    exp = sorted(
+        r[0] for r in con.execute(f"SELECT doc_id FROM t WHERE {where}").fetchall()
+    )
+    assert got == exp and 0 < len(got) < 500

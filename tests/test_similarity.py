@@ -197,3 +197,31 @@ def test_semantic_dedup_mixed_clusters_tile_invariant(spark):
         for b in (3, 64, 10**9)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_zero_vector_scores_zero_not_divide_by_zero(spark):
+    """A zero-magnitude embedding must rank with cosine 0 (matching
+    _unit_rows in the numpy kernels), not abort the job with ANSI
+    DIVIDE_BY_ZERO from the JVM cosine expression."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.brute_topk(df, [1], k=2).collect()
+    by_n = {r["neighbor_id"]: r["cosine_x10000"] for r in out}
+    assert by_n[0] == 0 and by_n[2] > 9000
+
+
+def test_lsh_ops_tolerate_empty_and_null_first_row(spark):
+    """dim inference must not crash on an empty frame or a NULL first
+    vector (first()[0] used to raise an opaque NoneType subscript)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.cosine_near_dup_lsh(empty).count() == 0
+    withnull = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.01])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = sim.cosine_near_dup_lsh(
+        withnull.where(F.col("embedding").isNotNull()), threshold=0.9
+    )
+    assert pairs.count() == 1

@@ -250,3 +250,18 @@ def test_hist_quantiles_domain_guard(spark):
     assert ok.count() == 9  # 3 groups x 3 quantiles
     ok2 = hist_quantiles(df, "v", ["g"], max_domain=None)
     assert sorted(map(tuple, ok2.collect())) == sorted(map(tuple, ok.collect()))
+
+
+def test_null_tokens_treated_as_empty(spark):
+    """A NULL tokens array must behave exactly like an empty one
+    (n_tok/n_kept 0, never NULL) so the operator family agrees on the
+    same row — token_histogram and rarity_score already do this."""
+    df = spark.createDataFrame(
+        [(1, None), (2, [7, 7, 7, 7])], "doc_id long, tokens array<int>"
+    )
+    rem = {r["doc_id"]: r for r in tokenstats.dup_span_removal(df, k=2).collect()}
+    assert (rem[1]["n_tok"], rem[1]["n_removed"], rem[1]["n_kept"]) == (0, 0, 0)
+    assert rem[2]["n_tok"] == 4
+    rep = {r["doc_id"]: r for r in tokenstats.dup_span_report(df, k=2).collect()}
+    assert (rep[1]["n_tok"], rep[1]["n_removed"], rep[1]["n_kept"]) == (0, 0, 0)
+    assert rep[1]["n_windows"] == 0
