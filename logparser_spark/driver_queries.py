@@ -428,11 +428,16 @@ _REP_K = 4  # within-doc repetition window length
 
 def q_dup_span_report(spark, sf_dir):
     """Corpus-duplicate k-window stats + ExactSubstr removal accounting
-    from ONE detection pass (the separate operators each re-run the
+    + REWRITE witnesses (kept-token sum, md5 of the kept sequence) from
+    ONE detection pass (the separate operators each re-run the
     rolling-hash DAG — the most expensive stage of the old sweep pair).
+    The witnesses value-check the actual rewrite materialization
+    (tokenstats.dup_span_rewrite), not just the interval-union counts.
     Oracle equivalence: one token per code point, so a k-token window
     == a k-char substring."""
-    return tokenstats.dup_span_report(tokenized_events(spark, sf_dir), k=_DUP_K)
+    return tokenstats.dup_span_report(
+        tokenized_events(spark, sf_dir), k=_DUP_K, rewrite_witness=True
+    )
 
 
 def q_token_repetition(spark, sf_dir):
@@ -807,15 +812,32 @@ seg AS (
                         CAST({k} AS BIGINT))) AS s
   FROM marked WHERE is_dup
 ),
-rem AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_removed FROM seg GROUP BY doc_id)
+rem AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_removed FROM seg GROUP BY doc_id),
+allpos AS (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS j FROM lines),
+chars AS (SELECT doc_id, j, unicode(substr(line, CAST(j AS INT), 1)) AS c FROM allpos),
+ds AS (SELECT doc_id, i FROM marked WHERE is_dup),
+mask AS (
+  SELECT ch.doc_id, ch.j, ch.c,
+         MAX(d.i) OVER (PARTITION BY ch.doc_id ORDER BY ch.j) AS ls
+  FROM chars ch LEFT JOIN ds d ON d.doc_id = ch.doc_id AND d.i = ch.j
+),
+kept AS (SELECT doc_id, j, c FROM mask WHERE ls IS NULL OR j >= ls + {k}),
+wit AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS kept_sum,
+         md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY j)) AS kept_hash
+  FROM kept GROUP BY doc_id
+)
 SELECT l.doc_id,
        CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
        CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
        CAST(COALESCE(1000 * p.dup_windows // p.n_windows, 0) AS BIGINT) AS dup_frac_x1000,
        CAST(length(l.line) AS BIGINT) AS n_tok,
        CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
-       CAST(length(l.line) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
-FROM lines l LEFT JOIN per p USING (doc_id) LEFT JOIN rem r USING (doc_id)"""
+       CAST(length(l.line) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(w.kept_sum, 0) AS BIGINT) AS kept_sum,
+       COALESCE(w.kept_hash, md5('')) AS kept_hash
+FROM lines l LEFT JOIN per p USING (doc_id) LEFT JOIN rem r USING (doc_id)
+     LEFT JOIN wit w USING (doc_id)"""
     )
 
 

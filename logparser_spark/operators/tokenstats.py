@@ -239,11 +239,134 @@ def dup_span_removal(
     )
 
 
+def _remove_spans_batch(
+    tok_series: pd.Series, starts_series: pd.Series, k: int
+) -> list[np.ndarray]:
+    """Per-row ExactSubstr rewrite: drop every token position covered
+    by >=1 duplicated k-window whose start is listed in ``starts``.
+
+    The covered mask is the classic difference-array interval union:
+    +1 at each start, -1 at min(start+k, n), cumsum > 0 — O(n_tok +
+    n_starts) per row, no per-interval inner loop, start order
+    irrelevant (so the upstream collect_list needs no sort)."""
+    out: list[np.ndarray] = []
+    for toks, starts in zip(tok_series, starts_series):
+        if toks is None or len(toks) == 0:
+            out.append(np.empty(0, dtype=np.int32))
+            continue
+        t = np.asarray(toks, dtype=np.int32)
+        if starts is None or len(starts) == 0:
+            out.append(t)
+            continue
+        n = len(t)
+        s = np.asarray(starts, dtype=np.int64)
+        diff = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(diff, s, 1)
+        np.add.at(diff, np.minimum(s + k, n), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        out.append(t[~covered])
+    return out
+
+
+def remove_spans_udf(k: int):
+    """(tokens array<int>, dup_starts array<int>) -> array<int> of the
+    kept tokens (ExactSubstr rewrite). Nondeterministic-marked for the
+    same Catalyst-duplication reason as window_hash_udf."""
+
+    @pandas_udf("array<int>")
+    def rm(tokens: pd.Series, starts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [a.tolist() for a in _remove_spans_batch(tokens, starts, k)]
+        )
+
+    return rm.asNondeterministic()
+
+
+def dup_span_rewrite(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """ExactSubstr REWRITE materialization (Lee et al. 2022): the
+    actual cleaned corpus, not just the accounting — every token
+    position covered by a corpus-duplicated k-window is removed and
+    the survivors are re-concatenated in order. Output:
+    (doc_id, n_tok, n_kept, tokens_clean:array<int>).
+
+    Scale plan: detection is ``dup_span_stats``'s DAG (rolling-hash
+    kernel -> 16-byte position explode -> one occurrence groupBy ->
+    semi-join back); the dup STARTS — not all positions — fold to one
+    array per affected doc (collect_list bounded by windows-per-doc),
+    and the original token arrays move exactly once, through the
+    doc_id join with that small starts side. The rewrite itself is a
+    pure map (difference-array mask per Arrow batch). No stage holds
+    more than one doc's tokens plus its starts in Python memory.
+    Reference parity: none (DB-key row dedup only, schema.sql:35);
+    §2-extension op per the brief.
+    """
+    from logparser_spark.operators.util import track_persist
+
+    hashed = with_window_hashes(
+        df.select(F.col(id_col).alias("doc_id"), tokens_col), k
+    )
+    pos = hashed.select("doc_id", F.posexplode("win_hashes").alias("i", "h"))
+    pos = track_persist(pos)
+    occ = pos.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup_start = pos.join(
+        occ.where(F.col("occ") > 1).select("h"), "h", "left_semi"
+    )
+    starts = dup_start.groupBy("doc_id").agg(
+        F.collect_list("i").alias("_starts")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    )
+    joined = base.join(starts, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("n_tok"),
+        remove_spans_udf(k)(F.col("_toks"), F.col("_starts")).alias(
+            "tokens_clean"
+        ),
+    ).withColumn("n_kept", F.size("tokens_clean").cast("long")).select(
+        "doc_id", "n_tok", "n_kept", "tokens_clean"
+    )
+
+
+def rewrite_witness_udf(k: int):
+    """(tokens, dup_starts) -> struct(kept_sum long, kept_hash string):
+    engine-portable content witnesses of the rewrite — exact token-id
+    sum of the kept positions and md5 of their comma-joined decimal
+    rendering (DuckDB: md5(string_agg(c::VARCHAR, ',' ORDER BY j))).
+    Computed inside the kernel so the report path never materializes
+    the cleaned arrays into the plan."""
+    import hashlib
+
+    @pandas_udf("kept_sum long, kept_hash string")
+    def wit(tokens: pd.Series, starts: pd.Series) -> pd.DataFrame:
+        cleaned = _remove_spans_batch(tokens, starts, k)
+        return pd.DataFrame(
+            {
+                "kept_sum": [int(a.sum(dtype=np.int64)) for a in cleaned],
+                "kept_hash": [
+                    hashlib.md5(
+                        ",".join(map(str, a.tolist())).encode()
+                    ).hexdigest()
+                    for a in cleaned
+                ],
+            }
+        )
+
+    return wit.asNondeterministic()
+
+
 def dup_span_report(
     df: DataFrame,
     k: int = 20,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    rewrite_witness: bool = False,
 ) -> DataFrame:
     """``dup_span_stats`` + ``dup_span_removal`` from ONE detection
     pass: per document, the corpus-duplicated k-window counts AND the
@@ -297,7 +420,7 @@ def dup_span_report(
         .groupBy("doc_id")
         .agg(F.sum("seg").alias("n_removed"))
     )
-    return per_doc.join(removed, "doc_id", "left").select(
+    out = per_doc.join(removed, "doc_id", "left").select(
         "doc_id",
         "n_windows",
         "dup_windows",
@@ -309,6 +432,33 @@ def dup_span_report(
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         (F.col("n_tok") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
     )
+    if not rewrite_witness:
+        return out
+    # ExactSubstr rewrite witnesses from the SAME detection pass: the
+    # dup starts fold to one small array per affected doc, the original
+    # token arrays move once (the doc_id join), and the kernel emits
+    # only (kept_sum, kept_hash) — the cleaned arrays never enter the
+    # plan. Cross-checks the accounting: the oracle recomputes both
+    # sides independently, so n_kept and the witnesses must agree.
+    starts = (
+        marked.where(F.col("is_dup"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("_starts"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    )
+    wit = (
+        base.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            rewrite_witness_udf(k)(F.col("_toks"), F.col("_starts")).alias(
+                "_w"
+            ),
+        )
+        .select("doc_id", "_w.kept_sum", "_w.kept_hash")
+    )
+    return out.join(wit, "doc_id", "left")
 
 
 def doc_repetition(

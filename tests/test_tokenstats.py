@@ -265,3 +265,112 @@ def test_null_tokens_treated_as_empty(spark):
     rep = {r["doc_id"]: r for r in tokenstats.dup_span_report(df, k=2).collect()}
     assert (rep[1]["n_tok"], rep[1]["n_removed"], rep[1]["n_kept"]) == (0, 0, 0)
     assert rep[1]["n_windows"] == 0
+
+
+def _naive_rewrite(toks, k, corpus_windows):
+    """Python model: drop every position covered by a window whose
+    k-tuple occurs >1 time in the whole corpus."""
+    n = len(toks)
+    covered = [False] * n
+    for s in range(n - k + 1):
+        if corpus_windows[tuple(toks[s : s + k])] > 1:
+            for p in range(s, s + k):
+                covered[p] = True
+    return [t for t, c in zip(toks, covered) if not c]
+
+
+def test_dup_span_rewrite_matches_python_model(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(23)
+    k = 3
+    rows = [
+        (i, [rng.randrange(4) for _ in range(rng.randrange(0, 16))])
+        for i in range(80)
+    ]
+    wins = Counter()
+    for _, toks in rows:
+        for s in range(len(toks) - k + 1):
+            wins[tuple(toks[s : s + k])] += 1
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in tokenstats.dup_span_rewrite(df, k=k).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+    for i, toks in rows:
+        want = _naive_rewrite(toks, k, wins)
+        assert got[i]["tokens_clean"] == want, i
+        assert got[i]["n_tok"] == len(toks)
+        assert got[i]["n_kept"] == len(want)
+
+
+def test_dup_span_rewrite_consistent_with_removal_accounting(spark):
+    """n_kept from the materialized rewrite must equal the interval-
+    union accounting's n_kept on every doc (two independent plans)."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.randrange(5) for _ in range(rng.randrange(0, 25))])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    rw = {r["doc_id"]: r for r in tokenstats.dup_span_rewrite(df, k=4).collect()}
+    rem = {r["doc_id"]: r for r in tokenstats.dup_span_removal(df, k=4).collect()}
+    for i, _ in rows:
+        assert rw[i]["n_kept"] == rem[i]["n_kept"], i
+        assert rw[i]["n_tok"] == rem[i]["n_tok"], i
+
+
+def test_dup_span_rewrite_edges(spark):
+    """No-dup docs pass through unchanged; a fully-duplicated doc
+    empties; short/NULL docs survive untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, [5, 6, 7, 8, 5, 6, 7, 8]),   # fully covered at k=3
+            (2, [30, 31, 32, 33]),           # unique -> unchanged
+            (3, [9]),                        # shorter than k -> unchanged
+            (4, None),                       # NULL -> empty, not NULL
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in tokenstats.dup_span_rewrite(df, k=3).collect()
+    }
+    assert got[1]["tokens_clean"] == [] and got[1]["n_kept"] == 0
+    assert got[2]["tokens_clean"] == [30, 31, 32, 33]
+    assert got[3]["tokens_clean"] == [9]
+    assert got[4]["tokens_clean"] == [] and got[4]["n_tok"] == 0
+
+
+def test_report_rewrite_witness_agrees_with_materialization(spark):
+    """kept_sum / kept_hash in the report must equal the same values
+    computed from the materialized cleaned arrays."""
+    import hashlib
+    import random
+
+    rng = random.Random(47)
+    rows = [
+        (i, [rng.randrange(4) for _ in range(rng.randrange(0, 20))])
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in tokenstats.dup_span_report(df, k=3, rewrite_witness=True).collect()
+    }
+    rw = {
+        r["doc_id"]: r.asDict()
+        for r in tokenstats.dup_span_rewrite(df, k=3).collect()
+    }
+    for i, _ in rows:
+        clean = rw[i]["tokens_clean"]
+        assert rep[i]["kept_sum"] == sum(clean), i
+        want_hash = hashlib.md5(
+            ",".join(map(str, clean)).encode()
+        ).hexdigest()
+        assert rep[i]["kept_hash"] == want_hash, i
+        assert rep[i]["n_kept"] == len(clean), i
