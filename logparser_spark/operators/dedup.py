@@ -649,3 +649,96 @@ def near_dup_clusters(
             "is_keeper"
         ),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    delim: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level exact dedup with document rewrite (the
+    RefinedWeb / MassiveText cleaning step): split every document on
+    ``delim``, drop every paragraph instance whose exact content
+    already occurred earlier in the corpus (global first occurrence —
+    ordered by (doc_id, position) — is the keeper), and re-assemble
+    each document from its surviving paragraphs in original order.
+
+    Output: (doc_id, n_paras, n_dup_paras, text_clean) where n_paras
+    counts the doc's nonblank paragraphs, n_dup_paras the instances
+    removed, and text_clean is the rewritten document (empty string
+    when nothing survives, including NULL/empty input text).
+    Normalization rule (documented, pinned by tests): paragraphs are
+    compared AFTER trim(); whitespace-only paragraphs are dropped from
+    the rewrite entirely and count in neither column.
+
+    Scale plan: three data-sized exchanges and nothing quadratic —
+    (1) keeper election is a groupBy on md5(paragraph) with a
+    min(struct(doc_id, pos)) aggregate: partial map-side combine, so a
+    boilerplate paragraph duplicated a billion times arrives at its
+    reducer as one row per upstream partition (no hot-key funnel);
+    (2) the kept/dropped decision joins instances back on the hash —
+    build side is one row per DISTINCT paragraph, AQE splits skewed
+    probe partitions; (3) re-assembly is a groupBy on doc_id whose
+    state is bounded by the document's own kept paragraphs
+    (sort_array over positions pins order without a window). The
+    expensive payload (paragraph text) moves through shuffles (1) and
+    (3) once each — the unavoidable minimum for a global rewrite.
+    Reference parity: none (DB-key row dedup only, schema.sql:35);
+    §2-extension op per the brief.
+    """
+    if "\\E" in delim:
+        raise ValueError(r"delim may not contain the regex quote-end '\E'")
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(
+                # \Q..\E: split on the LITERAL delimiter (F.split takes
+                # a regex; an unquoted "||" would split every char)
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    "\\Q" + delim + "\\E",
+                )
+            ).alias("pos", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .where(F.col("para") != "")
+    )
+    keeper = paras.groupBy(F.md5("para").alias("h")).agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper")
+    )
+    kept = (
+        paras.withColumn("h", F.md5("para"))
+        .join(keeper, "h")
+        .withColumn(
+            "is_kept",
+            (F.col("keeper.doc_id") == F.col("doc_id"))
+            & (F.col("keeper.pos") == F.col("pos")),
+        )
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(~F.col("is_kept"), 1)).alias("n_dup_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("text_clean"),
+    )
+    # docs whose paragraphs ALL dropped (or NULL/empty text) still get a row
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).alias("n_dup_paras"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

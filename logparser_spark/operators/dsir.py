@@ -1,0 +1,205 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over token sequences.
+
+Select raw-corpus documents that look like a small TARGET corpus by
+importance weights computed on hashed n-gram features:
+
+1. featurize every sequence into B hash buckets (unigrams + bigrams of
+   the token ids, one vectorized kernel pass — no per-row Python),
+2. fit bag-of-buckets unigram distributions p (target) and q (raw)
+   with add-alpha smoothing,
+3. per-document importance weight  log w(x) = sum_b c_b(x) * (log p_b
+   - log q_b),
+4. Gumbel-top-k resampling: rank by log w + Gumbel noise derived
+   DETERMINISTICALLY from (doc_id, seed) so the selection is stable
+   under retries, repartitioning, and speculative execution (same
+   property as ``hash_mix_sample``); ``gumbel_scale=0`` degrades to
+   plain top-k by weight.
+
+Scale plan (the two-pass broadcast-statistics pattern, same shape as
+``rarity_score``): each histogram pass shuffles at most B rows per
+task (B ~ 10k buckets, bounded by the FEATURE DOMAIN, never the corpus
+size); the two B-vectors are collected and broadcast like dimension
+tables; scoring is a PURE MAP stage (np.bincount + dot product per
+Arrow batch); selection is a TakeOrdered top-k, no global sort.
+Nothing data-sized ever shuffles.
+
+Reference parity: none (the reference has no sampling/selection at
+all); §2-extension op per the brief — data selection is the step
+between raw-crawl dedup and mixture weighting in an LLM data pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DSIR_BUCKETS = 10_000  # paper's default hash-feature dimensionality
+
+# odd multipliers for the 64-bit mixing hash (fixed, engine-portable;
+# same construction as tokenstats' rolling window hash)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bucket_ids(t: np.ndarray, buckets: int) -> np.ndarray:
+    """Hashed unigram + bigram bucket ids of one token array.
+
+    splitmix-style avalanche on each token id, plus a combined hash of
+    each adjacent pair — both folded into [0, buckets). Vectorized; the
+    caller batches rows, this runs per row on an int64 view.
+    """
+    x = t.astype(np.uint64)
+    h1 = x * _MIX1
+    h1 ^= h1 >> np.uint64(29)
+    h1 *= _MIX2
+    h1 ^= h1 >> np.uint64(32)
+    ids = h1 % np.uint64(buckets)
+    if len(x) >= 2:
+        hb = (x[:-1] * _MIX1) ^ (x[1:] * _MIX2)
+        hb ^= hb >> np.uint64(29)
+        hb *= _MIX1
+        hb ^= hb >> np.uint64(32)
+        ids = np.concatenate([ids, hb % np.uint64(buckets)])
+    return ids.astype(np.int64)
+
+
+def hashed_ngram_hist(
+    df: DataFrame, tokens_col: str = "tokens", buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Corpus-level hashed n-gram bucket histogram: (bucket, count).
+
+    mapInPandas kernel folds each Arrow batch into ONE np.bincount of
+    length ``buckets`` and emits only the nonzero rows, so the final
+    groupBy shuffles <= buckets rows per task — bounded by the feature
+    domain, never the corpus (the explode->groupBy alternative moves
+    one row per token position).
+    """
+
+    def fold(batches):
+        for pdf in batches:
+            acc = np.zeros(buckets, dtype=np.int64)
+            for x in pdf[tokens_col]:
+                if x is None or len(x) == 0:
+                    continue
+                ids = _bucket_ids(np.asarray(x, dtype=np.int64), buckets)
+                acc += np.bincount(ids, minlength=buckets)
+            nz = np.nonzero(acc)[0]
+            if len(nz):
+                yield pd.DataFrame({"bucket": nz, "count": acc[nz]})
+
+    return (
+        df.select(tokens_col)
+        .mapInPandas(fold, "bucket int, count long")
+        .groupBy("bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def dsir_log_ratio(
+    target_hist: pd.DataFrame,
+    raw_hist: pd.DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> np.ndarray:
+    """Per-bucket log importance ratio  log p_b - log q_b  from the two
+    collected histograms, with add-alpha smoothing so unseen buckets
+    are finite. Driver-side numpy on two B-vectors (B ~ 10k)."""
+
+    def dense(h: pd.DataFrame) -> np.ndarray:
+        v = np.zeros(buckets, dtype=np.float64)
+        if len(h):
+            v[h["bucket"].to_numpy()] = h["count"].to_numpy()
+        return v
+
+    p = dense(target_hist) + alpha
+    q = dense(raw_hist) + alpha
+    return np.log(p / p.sum()) - np.log(q / q.sum())
+
+
+def dsir_score(
+    df: DataFrame,
+    log_ratio: np.ndarray,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document importance weight: (doc_id, n_feat, dsir_logw).
+
+    ``log_ratio`` (a B-vector) ships to executors as a broadcast
+    closure; scoring is one np.bincount + dot product per row inside a
+    mapInPandas kernel — a pure map stage, zero shuffle. Empty/NULL
+    token arrays score 0 with n_feat 0 (no features, weight ratio 1).
+    """
+    buckets = len(log_ratio)
+    bc = df.sparkSession.sparkContext.broadcast(log_ratio)
+
+    def score(batches):
+        lam = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            logw = np.zeros(n, dtype=np.float64)
+            n_feat = np.zeros(n, dtype=np.int64)
+            for i, x in enumerate(pdf[tokens_col]):
+                if x is None or len(x) == 0:
+                    continue
+                ids = _bucket_ids(np.asarray(x, dtype=np.int64), buckets)
+                n_feat[i] = len(ids)
+                logw[i] = lam[ids].sum()
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_feat": n_feat, "dsir_logw": logw}
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, tokens_col).mapInPandas(
+        score, f"{id_col} {id_t}, n_feat long, dsir_logw double"
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: int = 42,
+    gumbel_scale: float = 1.0,
+) -> DataFrame:
+    """End-to-end DSIR: pick the ``k`` raw documents whose hashed
+    n-gram profile most resembles ``target``, by Gumbel-top-k over the
+    importance weights (= sampling without replacement proportional to
+    w^(1/gumbel_scale); gumbel_scale=0 -> deterministic argmax-k).
+
+    Output: (doc_id, n_feat, dsir_logw, sel_key) of the selected rows.
+    The Gumbel noise is a pure function of (doc_id, seed): u =
+    xxhash64(doc_id, seed) mapped into (0,1), g = -log(-log(u)) — so
+    the selected SET is reproducible on any cluster layout. Ties on
+    sel_key break by doc_id (pinned order).
+
+    Scale: two bounded histogram shuffles + one broadcast + one pure
+    map + TakeOrdered(k); the raw corpus is scanned twice (histogram,
+    scoring) and never shuffled.
+    """
+    t_hist = hashed_ngram_hist(target, tokens_col, buckets).toPandas()
+    r_hist = hashed_ngram_hist(raw, tokens_col, buckets).toPandas()
+    lam = dsir_log_ratio(t_hist, r_hist, buckets, alpha)
+    scored = dsir_score(raw, lam, id_col, tokens_col)
+
+    if gumbel_scale:
+        # 53-bit mantissa-exact uniform in (0,1): (h53 + 1) / (2^53 + 2)
+        # — never 0 or 1, so the double log is finite
+        h53 = F.shiftrightunsigned(
+            F.xxhash64(F.col(id_col), F.lit(seed)), 11
+        )
+        u = (h53.cast("double") + F.lit(1.0)) / F.lit(float((1 << 53) + 2))
+        key = F.col("dsir_logw") + F.lit(float(gumbel_scale)) * -F.log(-F.log(u))
+    else:
+        key = F.col("dsir_logw")
+    return (
+        scored.withColumn("sel_key", key)
+        .orderBy(F.desc("sel_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,162 @@
+"""DSIR importance resampling: differential tests against a pure-python
+model (independent 2^64 modular arithmetic — also checks the numpy
+uint64 kernel math), plus selection-behavior pins."""
+
+import math
+import random
+
+import pytest
+
+from logparser_spark.operators import dsir
+
+M1 = 0x9E3779B97F4A7C15
+M2 = 0xC2B2AE3D27D4EB4F
+MASK = (1 << 64) - 1
+
+
+def py_bucket_ids(toks, buckets):
+    """Pure-python model of dsir._bucket_ids (explicit mod-2^64)."""
+    ids = []
+    for t in toks:
+        h = ((t & MASK) * M1) & MASK
+        h ^= h >> 29
+        h = (h * M2) & MASK
+        h ^= h >> 32
+        ids.append(h % buckets)
+    for a, b in zip(toks, toks[1:]):
+        h = (((a & MASK) * M1) & MASK) ^ (((b & MASK) * M2) & MASK)
+        h ^= h >> 29
+        h = (h * M1) & MASK
+        h ^= h >> 32
+        ids.append(h % buckets)
+    return ids
+
+
+def _corpus(rng, n_docs, vocab_lo, vocab_hi, max_len=30):
+    return [
+        (i, [rng.randrange(vocab_lo, vocab_hi) for _ in range(rng.randrange(0, max_len))])
+        for i in range(n_docs)
+    ]
+
+
+def test_hist_matches_python_model(spark):
+    rng = random.Random(7)
+    rows = _corpus(rng, 60, 0, 50)
+    buckets = 97
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {
+        r["bucket"]: r["count"]
+        for r in dsir.hashed_ngram_hist(df, buckets=buckets).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for _, toks in rows:
+        want.update(py_bucket_ids(toks, buckets))
+    assert got == dict(want)
+
+
+def test_score_matches_python_model(spark):
+    rng = random.Random(11)
+    raw_rows = _corpus(rng, 50, 0, 40)
+    tgt_rows = _corpus(rng, 20, 10, 30)
+    buckets = 61
+    raw = spark.createDataFrame(raw_rows, "doc_id long, tokens array<int>")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, tokens array<int>")
+    t_hist = dsir.hashed_ngram_hist(tgt, buckets=buckets).toPandas()
+    r_hist = dsir.hashed_ngram_hist(raw, buckets=buckets).toPandas()
+    lam = dsir.dsir_log_ratio(t_hist, r_hist, buckets=buckets, alpha=0.5)
+
+    # python model of the same ratio
+    from collections import Counter
+
+    tc, rc = Counter(), Counter()
+    for _, toks in tgt_rows:
+        tc.update(py_bucket_ids(toks, buckets))
+    for _, toks in raw_rows:
+        rc.update(py_bucket_ids(toks, buckets))
+    p = [tc.get(b, 0) + 0.5 for b in range(buckets)]
+    q = [rc.get(b, 0) + 0.5 for b in range(buckets)]
+    sp, sq = sum(p), sum(q)
+    lam_py = [math.log(pi / sp) - math.log(qi / sq) for pi, qi in zip(p, q)]
+    assert lam == pytest.approx(lam_py, rel=1e-12)
+
+    got = {
+        r["doc_id"]: r
+        for r in dsir.dsir_score(raw, lam).collect()
+    }
+    for i, toks in raw_rows:
+        ids = py_bucket_ids(toks, buckets)
+        assert got[i]["n_feat"] == len(ids)
+        assert got[i]["dsir_logw"] == pytest.approx(
+            sum(lam_py[b] for b in ids), rel=1e-9, abs=1e-12
+        )
+
+
+def test_select_prefers_target_like_docs(spark):
+    """Raw corpus mixes two disjoint-vocabulary families; target is
+    family A -> deterministic top-k must be all family A."""
+    rng = random.Random(13)
+    fam_a = [
+        (i, [rng.randrange(0, 20) for _ in range(20)]) for i in range(40)
+    ]
+    fam_b = [
+        (100 + i, [rng.randrange(1000, 1020) for _ in range(20)])
+        for i in range(40)
+    ]
+    tgt_rows = [
+        (500 + i, [rng.randrange(0, 20) for _ in range(20)]) for i in range(15)
+    ]
+    raw = spark.createDataFrame(fam_a + fam_b, "doc_id long, tokens array<int>")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, tokens array<int>")
+    sel = dsir.dsir_select(
+        raw, tgt, k=25, buckets=512, gumbel_scale=0.0
+    ).collect()
+    assert len(sel) == 25
+    assert all(r["doc_id"] < 100 for r in sel), sorted(
+        r["doc_id"] for r in sel
+    )
+
+
+def test_select_gumbel_deterministic_per_seed(spark):
+    rng = random.Random(17)
+    rows = _corpus(rng, 80, 0, 30)
+    tgt = _corpus(rng, 10, 5, 25)
+    raw = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    tdf = spark.createDataFrame(tgt, "doc_id long, tokens array<int>")
+    a = sorted(
+        r["doc_id"]
+        for r in dsir.dsir_select(raw, tdf, k=20, buckets=128, seed=3).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in dsir.dsir_select(raw, tdf, k=20, buckets=128, seed=3).collect()
+    )
+    assert a == b and len(a) == 20
+    # the noise key itself must depend on the seed (the selected SET
+    # may legitimately coincide between seeds when scores dominate, so
+    # pin the keys, not the set)
+    k3 = {
+        r["doc_id"]: r["sel_key"]
+        for r in dsir.dsir_select(raw, tdf, k=20, buckets=128, seed=3).collect()
+    }
+    k4 = {
+        r["doc_id"]: r["sel_key"]
+        for r in dsir.dsir_select(raw, tdf, k=20, buckets=128, seed=4).collect()
+    }
+    common = set(k3) & set(k4)
+    assert common and any(k3[d] != k4[d] for d in common)
+
+
+def test_empty_and_null_tokens_score_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, []), (3, None)], "doc_id long, tokens array<int>"
+    )
+    tgt = spark.createDataFrame([(9, [1, 2])], "doc_id long, tokens array<int>")
+    t_hist = dsir.hashed_ngram_hist(tgt, buckets=31).toPandas()
+    r_hist = dsir.hashed_ngram_hist(df, buckets=31).toPandas()
+    lam = dsir.dsir_log_ratio(t_hist, r_hist, buckets=31)
+    got = {r["doc_id"]: r for r in dsir.dsir_score(df, lam).collect()}
+    assert got[2]["n_feat"] == 0 and got[2]["dsir_logw"] == 0.0
+    assert got[3]["n_feat"] == 0 and got[3]["dsir_logw"] == 0.0
+    assert got[1]["n_feat"] == 5  # 3 unigrams + 2 bigrams
