@@ -50,6 +50,12 @@ def build_session(
         # explicitly): prunes the big probe side of the incremental
         # dedup anti-join before its exchange.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # int64-micros timestamps, not the legacy INT96 default: INT96
+        # leaves carry NO parquet column statistics, which kills both
+        # the manifest's partition watermarks (footer max(time)) and
+        # min/max row-group pruning on time predicates; int64 micros is
+        # also the only timestamp encoding Iceberg accepts.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # A dying Python worker must surface its traceback, not an

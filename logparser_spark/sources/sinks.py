@@ -181,23 +181,31 @@ class MultiSinkWriter:
             per_cat[cat] = per_cat.get(cat, 0) + rec["rows"]
         return sum(per_cat.values()), per_cat
 
-    def partition_metrics(self, chunk_id: str) -> dict[str, dict[str, int]]:
-        """Per-partition-directory (rows, bytes, files) for one chunk —
-        footer/stat metadata only, no data pages read. Recorded into the
-        chunk's manifest entry as the per-partition lineage the north
-        star asks for (and the input to skew diagnostics: a partition
-        dir with 100x the rows of its siblings is a routing hot key)."""
+    def partition_metrics(self, chunk_id: str) -> dict[str, dict]:
+        """Per-partition-directory (rows, bytes, files, watermark) for
+        one chunk — footer/stat metadata only, no data pages read.
+        Recorded into the chunk's manifest entry as the per-partition
+        lineage the north star asks for: the row/byte counts feed skew
+        diagnostics (a partition dir with 100x the rows of its siblings
+        is a routing hot key), and ``watermark`` is the partition's max
+        event time (ISO-8601 UTC) from the parquet column statistics —
+        the freshness cursor an incremental consumer resumes from."""
         _check_chunk_id(chunk_id)
-        out: dict[str, dict[str, int]] = {}
+        out: dict[str, dict] = {}
         for f in glob.glob(
             os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"),
             recursive=True,
         ):
             part = os.path.dirname(os.path.relpath(f, self.data_dir))
-            rec = out.setdefault(part, {"rows": 0, "bytes": 0, "files": 0})
-            rec["rows"] += footer_row_count([f])
+            rec = out.setdefault(
+                part, {"rows": 0, "bytes": 0, "files": 0, "watermark": None}
+            )
+            rows, wm = _footer_stats(f, "time")
+            rec["rows"] += rows
             rec["bytes"] += os.path.getsize(f)
             rec["files"] += 1
+            if wm is not None and (rec["watermark"] is None or wm > rec["watermark"]):
+                rec["watermark"] = wm
         return out
 
     def remove_chunk(self, chunk_id: str) -> None:
@@ -216,6 +224,34 @@ def footer_row_count(paths) -> int:
     import pyarrow.parquet as pq
 
     return sum(pq.ParquetFile(f).metadata.num_rows for f in paths)
+
+
+def _footer_stats(path: str, time_col: str) -> tuple[int, str | None]:
+    """(row count, max-of-``time_col``) of one parquet file from footer
+    metadata alone — one footer read serves both. The max is the file's
+    event-time watermark, rendered ISO-8601; None when the column is
+    absent or its statistics were not written (stats are on by default
+    for timestamp leaves, but a foreign writer may omit them — a
+    missing watermark must degrade to "unknown", never to a wrong
+    time)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).path == time_col),
+        None,
+    )
+    wm = None
+    if idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if wm is None or st.max > wm:
+                wm = st.max
+    if wm is not None and hasattr(wm, "isoformat"):
+        wm = wm.isoformat()
+    return md.num_rows, wm if wm is None or isinstance(wm, str) else str(wm)
 
 
 def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, int]]:

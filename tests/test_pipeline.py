@@ -223,6 +223,46 @@ def test_manifest_partition_metrics(spark, tiny_input, tmp_path_factory):
         assert per_cat == rec["rows_per_category"]
 
 
+def test_manifest_partition_watermarks(spark, tiny_input, tmp_path_factory):
+    """Each partition-dir record carries the partition's max event time
+    (the north rule's per-partition watermark), sourced from parquet
+    footer column statistics and equal to an independent Spark
+    max(time) read-back per (category, day)."""
+    from datetime import datetime
+
+    from logparser_spark.plans.checkpoint import Manifest
+
+    out = str(tmp_path_factory.mktemp("watermarks"))
+    run_pipeline(spark, tiny_input, out, n_chunks=1)
+    want = {
+        (r["category"], r["day"]): r["wm"]
+        for r in read_sink(spark, out)
+        # partition discovery may infer day as DATE; compare as string
+        .groupBy("category", F.col("day").cast("string").alias("day"))
+        .agg(F.max("time").alias("wm"))
+        .collect()
+    }
+    seen = 0
+    for rec in Manifest(out).completed_chunks().values():
+        for name, p in rec["partitions"].items():
+            cat = name.split("/")[0].split("=", 1)[1]
+            day = name.split("/")[1].split("=", 1)[1]
+            if day == "__HIVE_DEFAULT_PARTITION__":
+                # null-time rows (timestamp rejects routed to
+                # quarantine): no event time, so no watermark — it must
+                # be absent, never a fabricated time
+                assert p["watermark"] is None, name
+                continue
+            assert p["watermark"] is not None, name
+            got = datetime.fromisoformat(p["watermark"])
+            exp = want[(cat, day)]
+            # footer stats are tz-aware UTC; Spark collect under the
+            # pinned UTC session returns naive UTC datetimes
+            assert got.replace(tzinfo=None) == exp, name
+            seen += 1
+    assert seen > 0
+
+
 def test_summary_tables_written(spark, pipeline_out):
     import os
 
