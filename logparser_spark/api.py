@@ -113,15 +113,21 @@ class LogPipelineAPI:
             glob.glob(os.path.join(self.root, "summary", name, "*.parquet"))
         )
 
-    def _summary_satisfies_k(self, name: str, k: int) -> bool:
-        """A committed top-K summary can serve a request for k rows if
-        it holds >= k rows OR it was never truncated (fewer distinct
-        keys than its cap — then it IS the complete ranking and remains
-        valid for any k)."""
+    def _summary_for_k(self, name: str, k: int) -> DataFrame | None:
+        """The summary table iff its committed marker can serve a
+        request for k rows: it holds >= k rows OR it was never truncated
+        (fewer distinct keys than its cap — then it IS the complete
+        ranking and remains valid for any k). Reads the marker ONCE and
+        tolerates the dir vanishing under a concurrent republish
+        (rmtree+rename): any such race falls back to live aggregation
+        instead of crashing on a half-checked fast path."""
         meta = self._summary_meta(name)
-        if meta is None:
-            return False
-        return meta["rows"] >= k or meta.get("exhaustive", False)
+        if meta is None or not (meta["rows"] >= k or meta.get("exhaustive", False)):
+            return None
+        try:
+            return self.spark.read.parquet(os.path.join(self.root, "summary", name))
+        except Exception:
+            return None
 
     # -- GET /api/logs ------------------------------------------------
     def get_logs(
@@ -196,14 +202,16 @@ class LogPipelineAPI:
     # (summaries hold top-100/top-10; a larger k falls back to live)
 
     def get_top_urls(self, flt: LogFilter | None = None, k: int = 100) -> DataFrame:
-        if (flt is None or flt.is_empty()) and self._summary_satisfies_k("top_urls", k):
-            s = self._summary("top_urls")
+        if (flt is None or flt.is_empty()) and (
+            s := self._summary_for_k("top_urls", k)
+        ) is not None:
             return s.orderBy(F.desc("request_count"), F.asc("url")).limit(k)  # O9 slice
         return agg.top_urls(self._facts(flt), k=k)
 
     def get_top_users(self, flt: LogFilter | None = None, k: int = 10) -> DataFrame:
-        if (flt is None or flt.is_empty()) and self._summary_satisfies_k("top_users", k):
-            s = self._summary("top_users")
+        if (flt is None or flt.is_empty()) and (
+            s := self._summary_for_k("top_users", k)
+        ) is not None:
             return s.orderBy(F.desc("request_count"), F.asc("username")).limit(k)
         return agg.top_users(self._facts(flt), k=k)
 

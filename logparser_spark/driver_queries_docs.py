@@ -50,7 +50,7 @@ def q_doc_stats(spark, sf_dir):
     """Quality features + token counts + language ID as one per-doc
     profile row (single narrow select — one corpus read instead of
     three; the individual operators stay available)."""
-    return textstats.doc_stats(documents(spark, sf_dir))
+    return textstats.doc_stats(documents(spark, sf_dir), carry_cols=("lang",))
 
 
 def q_ngram_vocab(spark, sf_dir):

@@ -81,7 +81,14 @@ def hourly_hist(df: DataFrame) -> DataFrame:
     # honor spark.sql.session.timeZone, so a consumer with an unpinned
     # session would bucket the same row differently than the UTC
     # contract (and than data written under a pinned session).
-    utc_hour = F.expr("cast((unix_timestamp(time) div 3600) % 24 as int)")
+    # Floor-division form (div truncates toward zero): a pre-epoch
+    # timestamp must bucket to 0..23, not a negative slot the dense
+    # explode(0..23) would silently drop. (The pipeline's own parse
+    # only admits unsigned epochs, but the operator is generic.)
+    utc_hour = F.expr(
+        "cast(pmod((unix_timestamp(time) - pmod(unix_timestamp(time), 3600))"
+        " div 3600, 24) as int)"
+    )
     counts = (
         df.filter(F.col("valid") == 1)
         .groupBy("category", utc_hour.alias("hour"))
@@ -236,9 +243,10 @@ def daily_rollup(df: DataFrame) -> DataFrame:
     """A12: the declared matview GROUP BY username, status_code, day
     (schema.sql:40-47)."""
     # UTC midnight via epoch arithmetic (date_trunc honors the session
-    # timezone — see hourly_hist)
+    # timezone — see hourly_hist); floor-division form so pre-epoch
+    # rows round DOWN to their own day, not up toward 1970-01-01
     utc_day = F.timestamp_seconds(
-        F.expr("(unix_timestamp(time) div 86400) * 86400")
+        F.expr("unix_timestamp(time) - pmod(unix_timestamp(time), 86400)")
     )
     return (
         df.filter(F.col("valid") == 1)

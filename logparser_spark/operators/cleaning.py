@@ -27,14 +27,19 @@ from pyspark.sql import functions as F
 TERMINAL_RX = r'[.!?"]\s*$'
 
 
-def c4_kept_lines(text_col: str = "text", min_words_per_line: int = 5) -> Column:
+def c4_kept_lines_from(text: Column, min_words_per_line: int = 5) -> Column:
     """array<string> of the lines the C4 line rules keep."""
-    lines = F.split(F.col(text_col), r"\n")
+    lines = F.split(text, r"\n")
     return F.filter(
         lines,
         lambda l: (l.rlike(TERMINAL_RX))
         & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
     )
+
+
+def c4_kept_lines(text_col: str = "text", min_words_per_line: int = 5) -> Column:
+    """array<string> of the lines the C4 line rules keep."""
+    return c4_kept_lines_from(F.col(text_col), min_words_per_line)
 
 
 def c4_clean(
@@ -50,16 +55,22 @@ def c4_clean(
     ``clean_text`` is the kept lines rejoined (NULL for dropped pages so
     a downstream writer can't accidentally train on them).
     """
-    kept = c4_kept_lines(text_col, min_words_per_line)
-    lower = F.lower(F.col(text_col))
+    # NULL text pins to the empty-page case (is_kept FALSE, zero
+    # counts), matching the rest of the curation family — a NULL
+    # is_kept would silently escape both filter(is_kept) and
+    # filter(~is_kept) drop-accounting
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    kept = c4_kept_lines_from(txt, min_words_per_line)
     page_ok = (
         (F.size(kept) >= min_lines)
-        & ~lower.contains("lorem ipsum")
-        & ~F.col(text_col).contains("{")
+        & ~F.lower(txt).contains("lorem ipsum")
+        & ~txt.contains("{")
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), r"\n")).alias("n_lines"),
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, r"\n")))
+        .alias("n_lines"),
         F.size(kept).alias("n_lines_kept"),
         page_ok.alias("is_kept"),
         F.when(page_ok, F.array_join(kept, "\n")).alias("clean_text"),

@@ -140,7 +140,9 @@ def token_count_cols(text_col: str = "text") -> list:
     ]
 
 
-def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_stats(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One-pass per-document profile: quality features + token counts +
     language ID in a SINGLE narrow select (zero shuffle; all Catalyst
     expressions fuse into the scan). This is how the three per-doc
@@ -148,10 +150,14 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the operators stay available individually (``quality_features``,
     ``token_counts``, ``lang_id``) but the driver query runs this
     combined form.
+
+    ``carry_cols``: extra input columns to pass through unchanged (e.g.
+    a ground-truth ``lang`` label) — the operator itself requires only
+    ``doc_id`` and ``text_col``.
     """
     return df.select(
         "doc_id",
-        "lang",
+        *carry_cols,
         *quality_feature_cols(text_col),
         *token_count_cols(text_col),
         *lang_pred_cols(text_col),

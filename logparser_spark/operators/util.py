@@ -28,9 +28,20 @@ def track_persist(
 
 def release_persisted() -> int:
     """Unpersist every tracked intermediate (non-blocking); returns the
-    count released. Safe to call at any time — unpersisting a frame
-    whose consumer has not run yet merely costs a recompute, never a
-    wrong answer (all tracked kernels are value-deterministic)."""
+    count released.
+
+    CONTRACT: call only after every consumer of the previous query's
+    result has fully materialized (collected / written). It is NOT
+    safe at arbitrary times: two tracked kernels
+    (``packing._with_global_offsets``, ``sampling.shard_assign``) pin a
+    ``repartitionByRange`` whose boundary sample is re-drawn on every
+    physical execution — their driver-collected pid->base maps are only
+    valid for the partitioning the persist pinned. Releasing while such
+    a result DataFrame can still be (re-)executed recomputes the range
+    partitioning with fresh boundaries and yields silently wrong
+    offsets/ranks. The driver-sweep wrapper in ``__spark_entry__``
+    satisfies the contract by releasing at the START of the next query,
+    after the harness has materialized the previous one."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

@@ -15,12 +15,17 @@ to an uninterrupted run (tested).
 Commits are O(1): one appended line + fsync per chunk (a rewrite-whole-
 file commit is O(n) per chunk = O(n²) total manifest I/O across a load
 with thousands of chunks — a measurable driver stall at the target
-scale). Torn-write safety moves to the READER: a crash mid-append can
-only tear the FINAL line, the reader skips any unparseable line (that
-chunk never committed, so it is rolled back and re-run — identical to
-crashing just before the commit), and the next commit terminates a torn
-tail with a newline so the fragment can never splice into a later
-record.
+scale). Torn-write invariant: a crash mid-append can only tear the
+FINAL line and a torn write never includes its trailing newline (the
+newline is the record's last byte), so "unparseable final line with no
+trailing newline" = that chunk never committed — the reader skips it
+and the chunk is rolled back and re-run, identical to crashing just
+before the commit. The next commit TRUNCATES the fragment before
+appending, so every interior line is always a complete committed
+record; an unparseable interior (or newline-terminated) line can
+therefore only mean external corruption of a COMMITTED record, and the
+reader raises loudly instead of silently re-ingesting a chunk whose
+sink files may since have been compacted away (silent duplicates).
 """
 
 from __future__ import annotations
@@ -36,33 +41,67 @@ class Manifest:
 
     def completed_chunks(self) -> dict[str, dict]:
         done = {}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                for ln in f:
-                    ln = ln.strip()
-                    if not ln:
-                        continue
-                    try:
-                        rec = json.loads(ln)
-                    except ValueError:
-                        # torn append from a crash mid-commit: the
-                        # record never committed; its chunk re-runs
-                        # after the usual filename-prefix rollback
-                        continue
-                    done[rec["chunk_id"]] = rec
+        if not os.path.exists(self.path):
+            return done
+        with open(self.path, "rb") as f:
+            data = f.read()
+        lines = data.split(b"\n")
+        for i, ln in enumerate(lines):
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                if i == len(lines) - 1 and not data.endswith(b"\n"):
+                    # torn append from a crash mid-commit: the record
+                    # never committed; its chunk re-runs after the
+                    # usual filename-prefix rollback
+                    continue
+                # an interior (or newline-terminated) line can only be
+                # a COMMITTED record damaged after the fact — its chunk
+                # must NOT silently re-run (its files may have been
+                # compacted away, so rollback would delete nothing and
+                # every row would be ingested twice)
+                raise ValueError(
+                    f"manifest {self.path} line {i + 1} is corrupted; "
+                    "a committed record is unreadable — refusing to "
+                    "resume (re-ingesting its chunk would duplicate "
+                    "rows). Restore the manifest or re-create the sink."
+                )
+            done[rec["chunk_id"]] = rec
         return done
 
     def commit_chunk(self, record: dict) -> None:
         line = (json.dumps(record, sort_keys=True) + "\n").encode()
         with open(self.path, "ab") as f:
-            # terminate a torn fragment left by a crashed commit so
-            # this record starts on its own line (the fragment becomes
-            # one unparseable line the reader skips)
-            if f.tell() > 0:
-                with open(self.path, "rb") as r:
+            # drop a torn fragment left by a crashed commit (fragments
+            # never end in \n — the newline is each record's last byte)
+            # so the invariant holds: every line except possibly the
+            # very last is a complete committed record
+            size = f.tell()
+            if size > 0:
+                with open(self.path, "r+b") as r:
                     r.seek(-1, os.SEEK_END)
                     if r.read(1) != b"\n":
-                        f.write(b"\n")
+                        r.truncate(self._last_newline_end(r, size))
             f.write(line)
             f.flush()
             os.fsync(f.fileno())
+
+    @staticmethod
+    def _last_newline_end(f, size: int) -> int:
+        """Offset just past the last newline in the file (0 if none),
+        scanning backwards in bounded blocks — commits stay O(record),
+        not O(file)."""
+        block = 65536
+        end = size
+        while end > 0:
+            start = max(0, end - block)
+            f.seek(start)
+            buf = f.read(end - start)
+            pos = buf.rfind(b"\n")
+            if pos != -1:
+                return start + pos + 1
+            end = start
+        return 0

@@ -79,9 +79,12 @@ def day_expr(time_col: str = "time"):
     split one UTC day's rows across two partition directories of the
     same sink. Shared by the batch writer and the streaming sink so
     their layouts can never diverge."""
+    # floor division (div truncates toward zero): pre-epoch timestamps
+    # must land in their own UTC day, not roll up into 1970-01-01
     return F.expr(
         f"cast(date_add(date '1970-01-01', "
-        f"cast(unix_timestamp({time_col}) div 86400 as int)) as string)"
+        f"cast((unix_timestamp({time_col}) - pmod(unix_timestamp({time_col}),"
+        f" 86400)) div 86400 as int)) as string)"
     )
 
 

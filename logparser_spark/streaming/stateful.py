@@ -8,8 +8,9 @@ whose content hash already flowed through the pipe must not be emitted
 again, no matter how many files/batches ago it appeared.
 
 State model: one state row per content-hash group holding the count of
-occurrences seen so far. New groups emit their first row (the keeper);
-existing groups emit nothing and just bump the count. State lives in
+keeper-eligible (non-NULL doc_id) occurrences seen so far. New groups
+emit their first row (the keeper); existing groups emit nothing and
+just bump the count. State lives in
 the streaming state store (checkpointed, recovered on restart — the
 restart path is pytest-pinned), and since keys are content hashes the
 state is uniformly partitioned, no skew.
@@ -49,12 +50,15 @@ def _dedup_fn(
     first = None
     n = 0
     for pdf in pdfs:
-        n += len(pdf)
-        # rows with NULL doc_id count toward the occurrence total but
-        # can never be the keeper (idxmin on an all-NaN series would
-        # raise and kill the whole streaming query on one bad record)
+        # rows with NULL doc_id can never be the keeper (idxmin on an
+        # all-NaN series would raise and kill the whole streaming query
+        # on one bad record) and must not count toward `seen` either: a
+        # group whose FIRST micro-batch is all-NULL ids would otherwise
+        # permanently suppress the real keeper arriving in a later batch
         ids = pdf["doc_id"]
-        if not ids.notna().any():
+        valid = ids.notna()
+        n += int(valid.sum())
+        if not valid.any():
             continue
         cand = pdf.loc[ids.idxmin()]
         if first is None or cand["doc_id"] < first["doc_id"]:

@@ -149,7 +149,7 @@ def test_top_k_fast_path_serves_any_k_when_exhaustive(api):
     assert meta is not None and set(meta) >= {"rows", "exhaustive"}
     if not meta["exhaustive"]:
         pytest.skip("fixture has >= cap distinct urls; exhaustive path not hit")
-    assert api._summary_satisfies_k("top_urls", 10**6)
+    assert api._summary_for_k("top_urls", 10**6) is not None
     fast = [tuple(r) for r in api.get_top_urls(k=10**6).collect()]
     from logparser_spark.operators import aggregates as agg
 
@@ -176,15 +176,23 @@ def test_partial_summary_dir_falls_back_to_live(api):
     assert live == fast
 
 
-def test_summary_satisfies_k_logic(spark, tmp_path):
+def test_summary_fast_path_eligibility(spark, tmp_path):
     """Deterministic pin of fast-path eligibility: rows >= k OR the
-    summary is exhaustive (never truncated); no marker -> ineligible."""
+    summary is exhaustive (never truncated); no marker -> ineligible;
+    the marker is read ONCE and a dir vanishing under a concurrent
+    republish yields live-fallback (None), never a crash."""
     api2 = LogPipelineAPI(spark, str(tmp_path))
     d = tmp_path / "summary" / "top_urls"
-    d.mkdir(parents=True)
-    assert not api2._summary_satisfies_k("top_urls", 1)  # no marker
+    spark.createDataFrame(
+        [("u", 1)], "url string, request_count long"
+    ).coalesce(1).write.parquet(str(d))
+    assert api2._summary_for_k("top_urls", 1) is None  # no marker
     (d / "_meta.json").write_text('{"rows": 60, "exhaustive": true}')
-    assert api2._summary_satisfies_k("top_urls", 10**6)
+    assert api2._summary_for_k("top_urls", 10**6) is not None
     (d / "_meta.json").write_text('{"rows": 100, "exhaustive": false}')
-    assert api2._summary_satisfies_k("top_urls", 100)
-    assert not api2._summary_satisfies_k("top_urls", 101)
+    assert api2._summary_for_k("top_urls", 100) is not None
+    assert api2._summary_for_k("top_urls", 101) is None
+    # TOCTOU: marker passes but the data files are gone mid-republish
+    for f in d.glob("*.parquet"):
+        f.unlink()
+    assert api2._summary_for_k("top_urls", 10) is None

@@ -8,7 +8,10 @@ from logparser_spark.operators.cleaning import c4_clean
 
 
 def naive_c4(text, min_words_per_line=5, min_lines=3):
-    lines = text.split("\n")
+    # NULL pins to the empty-page case: 0 lines, is_kept False — a NULL
+    # verdict would escape both is_kept and ~is_kept drop accounting
+    text = text or ""
+    lines = text.split("\n") if text else []
     kept = [
         l
         for l in lines
@@ -35,6 +38,7 @@ DOCS = [
         "five words ending in dot.\ntrailing spaces after period.   "),
     (7, "exactly five words right here.\nsecond line of five words.\n"
         "third line makes it pass."),
+    (8, None),
 ]
 
 

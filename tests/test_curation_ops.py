@@ -337,6 +337,21 @@ def test_doc_stats_equals_individual_operators(spark):
         assert prof[i] == {k: merged[k] for k in prof[i]}, i
 
 
+def test_doc_stats_requires_only_doc_id_and_text(spark):
+    """The operator must not bake fixture columns in: any frame with
+    (doc_id, text) profiles; extra columns pass through only when
+    requested via carry_cols."""
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame([(1, "hello world .")], "doc_id long, text string")
+    cols = textstats.doc_stats(df).columns
+    assert "lang" not in cols and cols[0] == "doc_id"
+    df2 = spark.createDataFrame(
+        [(1, "s9", "hello world .")], "doc_id long, shard string, text string"
+    )
+    assert textstats.doc_stats(df2, carry_cols=("shard",)).columns[1] == "shard"
+
+
 def test_stratified_take_reserved_columns_rejected(spark):
     """Internal __h/__salt/__rn columns would be silently replaced and
     dropped; fail fast instead (same contract as asof_join)."""

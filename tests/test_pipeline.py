@@ -334,11 +334,45 @@ def test_manifest_commit_is_append_and_torn_tail_tolerated(tmp_path):
     done = m.completed_chunks()
     assert set(done) == {"chunk-00000", "chunk-00001"}  # torn = not committed
 
-    # the next commit must terminate the fragment, not splice into it
+    # the next commit must drop the fragment, not splice into it
     m.commit_chunk({"chunk_id": "chunk-00002", "rows": 3})
     done = m.completed_chunks()
     assert set(done) == {"chunk-00000", "chunk-00001", "chunk-00002"}
     assert done["chunk-00002"]["rows"] == 3
+    with open(m.path, "rb") as fh:
+        raw = fh.read()
+    assert b'"chunk_id": "chunk-000\n' not in raw  # fragment truncated
+    assert all(ln.startswith(b"{") and ln.endswith(b"}") for ln in raw.splitlines())
+
+
+def test_manifest_corrupted_committed_record_refuses_resume(tmp_path):
+    """Damage to a COMMITTED (newline-terminated / interior) record must
+    raise, not silently mark the chunk un-committed: after compaction the
+    rollback-by-prefix deletes nothing and a re-run would duplicate every
+    row of the chunk."""
+    from logparser_spark.plans.checkpoint import Manifest
+
+    m = Manifest(str(tmp_path))
+    m.commit_chunk({"chunk_id": "chunk-00000", "rows": 1})
+    m.commit_chunk({"chunk_id": "chunk-00001", "rows": 2})
+    with open(m.path, "rb") as fh:
+        lines = fh.read().splitlines(keepends=True)
+    # bit-rot the FIRST (interior) record
+    lines[0] = b"\x00" + lines[0][1:]
+    with open(m.path, "wb") as fh:
+        fh.writelines(lines)
+    with pytest.raises(ValueError, match="corrupted"):
+        m.completed_chunks()
+
+    # newline-terminated final record damaged -> also corruption
+    m2 = Manifest(str(tmp_path / "m2"))
+    m2.commit_chunk({"chunk_id": "chunk-00000", "rows": 1})
+    with open(m2.path, "rb") as fh:
+        raw = fh.read()
+    with open(m2.path, "wb") as fh:
+        fh.write(b"garbage" + raw[7:])
+    with pytest.raises(ValueError, match="corrupted"):
+        m2.completed_chunks()
 
 
 def test_compact_after_dispatches_to_writer_compact(spark, tiny_input, tmp_path_factory):
@@ -432,6 +466,33 @@ def test_day_and_hour_buckets_are_session_timezone_proof(spark):
         assert (day.day, day.hour) == (2, 0) or str(day).startswith("2024-01-02")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_utc_bucketing_pre_epoch_floors(spark):
+    """The epoch div arithmetic truncates toward zero; pre-1970 rows
+    must FLOOR instead — 1969-12-31T23:30Z is hour 23 of 1969-12-31,
+    not hour 0 of 1970-01-01 (hourly_hist would silently drop a
+    negative slot from its dense 0..23 grid). The pipeline's own parse
+    admits only unsigned epochs, but the operators are generic."""
+    import datetime as dt
+
+    from logparser_spark.sources.sinks import day_expr
+
+    rows = [
+        ("u", 200, dt.datetime(1969, 12, 31, 23, 30), "ok", 1),  # hour 23
+        ("u", 200, dt.datetime(1969, 12, 31, 1, 30), "ok", 1),  # hour 1
+        ("u", 200, dt.datetime(1970, 1, 1, 5, 0), "ok", 1),  # hour 5
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "username string, status_code int, time timestamp, category string, valid int",
+    )
+    h = agg.hourly_hist(df).filter(F.col("row_count") > 0).collect()
+    assert sorted(r.hour for r in h) == [1, 5, 23]
+    days = [r.day for r in df.select(day_expr("time").alias("day")).collect()]
+    assert days == ["1969-12-31", "1969-12-31", "1970-01-01"]
+    roll = {str(r.day): r.request_count for r in agg.daily_rollup(df).collect()}
+    assert roll == {"1969-12-31 00:00:00": 2, "1970-01-01 00:00:00": 1}
 
 
 def test_chunk_id_with_glob_metacharacters_rejected(spark, tmp_path):

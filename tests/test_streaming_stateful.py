@@ -97,10 +97,23 @@ def test_dedup_tolerates_null_text(spark, dirs):
     assert rows[5][0] is None and rows[5][1] == 0
 
 
+def test_dedup_null_only_first_batch_does_not_suppress_keeper(spark, dirs):
+    """A group whose FIRST micro-batch holds only NULL-doc_id rows must
+    still emit the real keeper when it arrives in a LATER batch — the
+    state gate counts keeper-eligible rows, not raw rows."""
+    src, out = dirs
+    _write_docs(spark, src, [(None, "late keeper", "en", "s", 11)])
+    _drain(spark, src, out)
+    assert _keepers(spark, out) == {}  # nothing eligible yet
+    _write_docs(spark, src, [(9, "late keeper", "en", "s", 11)])
+    _drain(spark, src, out)
+    assert list(_keepers(spark, out).values()) == [9]
+
+
 def test_dedup_tolerates_null_doc_id(spark, dirs):
-    """A NULL doc_id row must count toward occurrences but never crash
-    the query (idxmin over an all-NaN group raises) nor become keeper;
-    a hash seen ONLY with null ids emits nothing."""
+    """A NULL doc_id row must never crash the query (idxmin over an
+    all-NaN group raises) nor become keeper; a hash seen ONLY with
+    null ids emits nothing."""
     src, out = dirs
     _write_docs(
         spark,
