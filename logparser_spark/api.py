@@ -117,10 +117,20 @@ class LogPipelineAPI:
         """The summary table iff its committed marker can serve a
         request for k rows: it holds >= k rows OR it was never truncated
         (fewer distinct keys than its cap — then it IS the complete
-        ranking and remains valid for any k). Reads the marker ONCE and
-        tolerates the dir vanishing under a concurrent republish
-        (rmtree+rename): any such race falls back to live aggregation
-        instead of crashing on a half-checked fast path."""
+        ranking and remains valid for any k). Reads the marker ONCE, and
+        the try/except turns a dir vanishing under a concurrent
+        republish (rmtree+rename) DURING PLANNING into a live-aggregation
+        fallback instead of a crash on a half-checked fast path.
+
+        Remaining race window (documented, not closed): the returned
+        DataFrame is lazy, so a republish that deletes the summary files
+        between this plan-time check and the caller's collect still
+        raises at execution time. Closing it would mean eagerly pinning
+        the data (cache+count, or snapshotting the file list) on every
+        fast-path call — a full materialization tax on the common case
+        to defend a crash-free-but-retryable failure in a rare one.
+        Callers that need the stronger guarantee retry on failure, which
+        is also what the reference's HTTP layer does on a 500."""
         meta = self._summary_meta(name)
         if meta is None or not (meta["rows"] >= k or meta.get("exhaustive", False)):
             return None

@@ -120,7 +120,53 @@ def q_route_counts(spark, sf_dir):
 
 
 def q_sink_totals(spark, sf_dir):
-    return agg.sink_totals(routed_events(spark, sf_dir))
+    """A1-A8/P8 per-sink totals, computed from the routed SINKS after a
+    real two-chunk load + the post-load compaction pass — so the
+    driver's value hash pins compaction result-equality (reference
+    analog: index-rebuild-after-load, LogFileParser.java:727-821) in
+    the hard per-round signal, not only in tests/test_compact.py.
+
+    The load writes the routed rows as two manifest-committed chunks
+    (clustered layout, so each (category, day) dir gets one file per
+    chunk x salt), compaction bin-packs every dir back to one file and
+    commits its rewrite record, and the aggregate reads the compacted
+    sink — value-equal to aggregating the in-flight frame, which is
+    exactly what the DuckDB oracle computes. ``time`` is coarsened to
+    month-start for the temp sink's partition key only (sink_totals
+    reads no time column): the compaction protocol is
+    partition-count-agnostic and one rewrite job per (category, day)
+    dir at 31 days would dominate this query's latency with pure
+    job-submit overhead at test scale."""
+    import hashlib
+    import shutil
+
+    from logparser_spark.plans.checkpoint import Manifest
+    from logparser_spark.sources.compact import compact_sinks
+    from logparser_spark.sources.sinks import MultiSinkWriter, read_sink
+
+    out_root = f"/tmp/driver_sink_totals_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    routed = routed_events(spark, sf_dir).withColumn(
+        "time", F.date_trunc("month", F.col("time"))
+    )
+    writer = MultiSinkWriter(out_root, pre_shuffle=True, salt_buckets=2)
+    manifest = Manifest(out_root)
+    for i in (0, 1):
+        chunk_id = f"chunk-{i:05d}"
+        writer.write_chunk(routed.where(F.col("event_id") % 2 == i), chunk_id)
+        rows, cats = writer.exact_chunk_counts(chunk_id)
+        manifest.commit_chunk(
+            {"chunk_id": chunk_id, "rows": rows, "rows_per_category": cats}
+        )
+    summary = compact_sinks(spark, out_root)
+    if summary["partitions_rewritten"] == 0:
+        raise RuntimeError(
+            "sink_totals compaction pass rewrote nothing — the "
+            "compaction check was never exercised"
+        )
+    if summary["chunk_id"] not in Manifest(out_root).completed_chunks():
+        raise RuntimeError("compaction record missing from manifest")
+    return agg.sink_totals(read_sink(spark, out_root))
 
 
 def q_top_urls(spark, sf_dir):
@@ -462,14 +508,44 @@ _CHUNK_OVERLAP = 16
 
 
 def q_pack_chunks(spark, sf_dir):
-    """Concat-and-chunk sequence packing stats (distributed prefix sum
-    over doc offsets; tokens never shuffle). Needs only doc LENGTHS, so
-    the plan is a pure length(line) projection — no tokenization."""
+    """BOTH chunking geometries under one driver row, kind-tagged into
+    a shared integer schema (the r3 consolidation pattern — frees a
+    slot of the driver's 50-row sweep without losing either oracle):
+
+    - ``kind='pack'``: concat-and-chunk packing stats (distributed
+      prefix sum over doc offsets; tokens never shuffle; pure
+      length(line) projection, no tokenization) —
+      (id1=chunk_id, id2=first_doc, n_tokens, v1=n_docs, v2=0).
+    - ``kind='slide'``: sliding-window chunking with overlap (HF
+      overflow-token semantics; tok_sum is the exact window token-id
+      sum) — (id1=doc_id, id2=chunk_idx, n_tokens, v1=off, v2=tok_sum).
+
+    Each branch keeps its own single-scan plan; the union is free."""
     df = events(spark, sf_dir).select(
         F.col("event_id").alias("doc_id"),
         F.length(F.expr(line_expr_spark())).alias("n"),
     )
-    return packing.pack_chunk_stats(df, seq_len=_SEQ_LEN, len_col="n")
+    pack = packing.pack_chunk_stats(df, seq_len=_SEQ_LEN, len_col="n").select(
+        F.lit("pack").alias("kind"),
+        F.col("chunk_id").cast("long").alias("id1"),
+        F.col("first_doc").cast("long").alias("id2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_docs").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    slide = packing.chunk_sliding(
+        tokenized_events(spark, sf_dir),
+        max_len=_CHUNK_LEN,
+        overlap=_CHUNK_OVERLAP,
+    ).select(
+        F.lit("slide").alias("kind"),
+        F.col("doc_id").cast("long").alias("id1"),
+        F.col("chunk_idx").cast("long").alias("id2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("off").cast("long").alias("v1"),
+        F.col("tok_sum").cast("long").alias("v2"),
+    )
+    return pack.unionByName(slide)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -507,25 +583,18 @@ FROM ch GROUP BY 1"""
     )
 
 
-def q_chunk_spans(spark, sf_dir):
-    """Sliding-window chunking with overlap (HF overflow-token
-    semantics); tok_sum is the exact window token-id sum, reproduced by
-    the oracle from per-char code-point cumsums."""
-    return packing.chunk_sliding(
-        tokenized_events(spark, sf_dir),
-        max_len=_CHUNK_LEN,
-        overlap=_CHUNK_OVERLAP,
-    )
-
-
 def q_asof(spark, sf_dir):
     """Point-in-time enrichment: every event picks up the latest
     snapshot (every-101st event, deduped per (key, time)) at or before
     its timestamp — union + ordered carry-forward; oracle is DuckDB's
-    native ASOF LEFT JOIN. Runs the skew-safe two-phase plan
-    (time_bucket = 1 day) so the driver oracle pins the at-scale path:
-    only 8 synthetic keys here, and with a key-only window each would
-    funnel an eighth of the corpus through one task at 100x."""
+    native ASOF LEFT JOIN. Runs ``time_bucket="auto"``: the key-skew
+    probe picks the single-window plan here (the hottest of the 8
+    synthetic keys holds far under a task's worth of rows at test
+    scale) and would flip to the skew-safe two-phase bucketed plan the
+    moment a key crosses the task-size threshold — the at-scale
+    decision the operator now makes itself. Both plans stay
+    oracle-identical; the bucketed path is pinned by the 90%-hot-key
+    pytest (tests/test_asof.py) and the auto-switch by its own test."""
     from logparser_spark.operators.asof import asof_join
 
     ev = events(spark, sf_dir)
@@ -538,7 +607,7 @@ def q_asof(spark, sf_dir):
         .distinct()
         .withColumn("snap", (F.col("t") * 31 + F.col("k")) % F.lit(1000003))
     )
-    return asof_join(left, snaps, ["k"], "t", ["snap"], time_bucket=86_400)
+    return asof_join(left, snaps, ["k"], "t", ["snap"], time_bucket="auto")
 
 
 def _asof_oracle() -> str:
@@ -588,6 +657,214 @@ FROM l JOIN r ON l.t BETWEEN r.lo AND r.hi"""
 
 
 _DECON_K = 20  # decontamination window length (tokens)
+
+# DSIR driver query: target corpus = every 97th sequence (the same
+# "small held-out set vs big raw corpus" split decontaminate uses),
+# select the k raw sequences most target-like.
+_DSIR_K = 200
+_DSIR_TARGET_MOD = 97
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (arXiv:2302.03169) under the driver
+    contract: hashed unigram+bigram features -> target/raw histograms
+    -> per-sequence importance weight -> deterministic top-k. Runs the
+    integer-ratio scoring mode (``dsir_select_int``) whose fixed-point
+    weights a DuckDB HUGEINT oracle reproduces bit-for-bit — the
+    distributed plan (two feature-domain-bounded shuffles + pure-map
+    scoring) is identical to the log-weight default, which stays
+    differential-pytest-pinned (floats aren't cross-engine hashable)."""
+    from logparser_spark.operators import dsir
+
+    toks = tokenized_events(spark, sf_dir)
+    target = toks.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    raw = toks.where(F.col("doc_id") % _DSIR_TARGET_MOD != 0)
+    return dsir.dsir_select_int(raw, target, k=_DSIR_K)
+
+
+def _dsir_oracle() -> str:
+    """DuckDB twin of q_dsir_select: the numpy uint64 featurization
+    (splitmix-style avalanche, dsir._bucket_ids) re-expressed in
+    HUGEINT arithmetic — mulmod-by-split for the 64-bit wraparound
+    multiplies, a signed-BIGINT two's-complement detour for xor, plain
+    ``//`` for logical right shifts. Each CTE step adds one column so
+    no sub-expression is ever duplicated."""
+    from logparser_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        DSIR_RATIO_SCALE,
+        _MIX1,
+        _MIX2,
+    )
+
+    B, SCALE = DSIR_BUCKETS, DSIR_RATIO_SCALE
+    M1, M2 = int(_MIX1), int(_MIX2)
+    T64, T63, T32 = 1 << 64, 1 << 63, 1 << 32
+    mod = _DSIR_TARGET_MOD
+    alpha = 1
+
+    def to_signed(col: str) -> str:
+        return f"CAST({col} - CASE WHEN {col} >= {T63} THEN {T64} ELSE 0 END AS BIGINT)"
+
+    def to_unsigned(col: str) -> str:
+        return f"CAST({col} AS HUGEINT) + CASE WHEN {col} < 0 THEN {T64} ELSE 0 END"
+
+    def mulmod(col: str, m: int) -> str:
+        # (col * m) mod 2^64 with col < 2^64: split col into 32-bit
+        # halves so every HUGEINT product stays below 2^127
+        return (
+            f"(({col} % {T32}) * {m} + ((({col} // {T32}) * {m}) % {T32}) * {T32}) % {T64}"
+        )
+
+    return (
+        _token_lines_cte()
+        + f""",
+chars AS (
+  SELECT doc_id, i, CAST(unicode(substr(line, CAST(i AS INT), 1)) AS HUGEINT) AS c
+  FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i FROM lines)
+),
+pairs_b AS (
+  SELECT doc_id, c AS c1, LEAD(c) OVER (PARTITION BY doc_id ORDER BY i) AS c2
+  FROM chars
+),
+u1 AS (SELECT doc_id, (c * {M1}) % {T64} AS h FROM chars),
+u2 AS (SELECT doc_id, xor({to_signed('h')}, {to_signed(f'(h // {1 << 29})')}) AS hs FROM u1),
+u3 AS (SELECT doc_id, {to_unsigned('hs')} AS h FROM u2),
+u4 AS (SELECT doc_id, {mulmod('h', M2)} AS h FROM u3),
+u5 AS (SELECT doc_id, xor({to_signed('h')}, {to_signed(f'(h // {T32})')}) AS hs FROM u4),
+u6 AS (SELECT doc_id, {to_unsigned('hs')} AS h FROM u5),
+b1 AS (SELECT doc_id, (c1 * {M1}) % {T64} AS ha, (c2 * {M2}) % {T64} AS hb
+       FROM pairs_b WHERE c2 IS NOT NULL),
+b2 AS (SELECT doc_id, xor({to_signed('ha')}, {to_signed('hb')}) AS hs FROM b1),
+b3 AS (SELECT doc_id, {to_unsigned('hs')} AS h FROM b2),
+b4 AS (SELECT doc_id, xor({to_signed('h')}, {to_signed(f'(h // {1 << 29})')}) AS hs FROM b3),
+b5 AS (SELECT doc_id, {to_unsigned('hs')} AS h FROM b4),
+b6 AS (SELECT doc_id, {mulmod('h', M1)} AS h FROM b5),
+b7 AS (SELECT doc_id, xor({to_signed('h')}, {to_signed(f'(h // {T32})')}) AS hs FROM b6),
+b8 AS (SELECT doc_id, {to_unsigned('hs')} AS h FROM b7),
+feats AS (
+  SELECT doc_id, h % {B} AS b FROM u6
+  UNION ALL
+  SELECT doc_id, h % {B} AS b FROM b8
+),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+tp AS (SELECT b, SUM(c) AS p FROM cnt WHERE doc_id % {mod} = 0 GROUP BY b),
+rq AS (SELECT b, SUM(c) AS q FROM cnt WHERE doc_id % {mod} <> 0 GROUP BY b),
+tot AS (SELECT
+  (SELECT COALESCE(SUM(p), 0) FROM tp) + {alpha * B} AS ps,
+  (SELECT COALESCE(SUM(q), 0) FROM rq) + {alpha * B} AS qs),
+sc AS (
+  SELECT cnt.doc_id,
+         SUM(cnt.c) AS n_feat,
+         SUM(CAST(cnt.c AS HUGEINT) *
+             ((CAST({SCALE} AS HUGEINT) * (COALESCE(tp.p, 0) + {alpha}) * tot.qs)
+              // ((COALESCE(rq.q, 0) + {alpha}) * tot.ps))) AS w
+  FROM cnt LEFT JOIN tp USING (b) LEFT JOIN rq USING (b) CROSS JOIN tot
+  WHERE cnt.doc_id % {mod} <> 0
+  GROUP BY cnt.doc_id
+)
+SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat, CAST(w AS BIGINT) AS dsir_w
+FROM (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rn FROM sc)
+WHERE rn <= {_DSIR_K}"""
+    )
+
+
+# url_canonical: deterministic URL spelling variants (fragment, scheme
+# case, query-param order) over a bounded URL population, derived from
+# events by the SAME SQL in both engines so the inputs are
+# byte-identical by construction. The base-URL residues (mod 30 / 11)
+# and the variant selector ((event_id % 7) % 5) are coprime, so every
+# base accumulates several distinct spellings — unlike the parsed log
+# url, whose site/path residues fix event_id mod 1000 and therefore
+# pin the %5 variant (one spelling per URL = nothing for the dedup to
+# find). The scheme-less host:port branch covers the CONNECT-target
+# form the canonicalizer must not mangle.
+_URL_SPELL_SQL = """
+CASE (event_id % 7) % 5
+  WHEN 0 THEN u
+  WHEN 1 THEN u || '#ref'
+  WHEN 2 THEN replace(u, 'http://', 'HTTP://')
+  WHEN 3 THEN u || '?b=2&a=1'
+  ELSE u || '?a=1&b=2'
+END""".strip()
+
+_URL_BASE_SQL = """
+CASE WHEN event_id % 11 = 0
+     THEN 'site-' || CAST(event_id % 10 AS STRING) || '.example.com:443'
+     ELSE 'http://site-' || CAST(event_id % 10 AS STRING)
+          || '.example.com/p/' || CAST(event_id % 3 AS STRING)
+END""".strip()
+
+
+def q_url_canonical(spark, sf_dir):
+    """rfc3986 §6 URL canonicalization + URL-keyed dup groups
+    (functions/urlnorm.py) under the driver contract: one row per
+    canonical URL spelled more than one way. Zero-shuffle projection +
+    one groupBy on the canonical key."""
+    from logparser_spark.functions import urlnorm
+
+    spelled = events(spark, sf_dir).select(
+        "event_id", F.expr(f"({_URL_BASE_SQL}) AS u")
+    ).select(F.expr(_URL_SPELL_SQL).alias("url"))
+    return urlnorm.url_dup_groups(spelled, "url")
+
+
+def _url_canonical_oracle() -> str:
+    """DuckDB twin of normalize_url_expr + url_dup_groups: the same
+    component grammar (RE2-compatible), the same pass-through guards,
+    bytewise param sort via list_sort."""
+    from logparser_spark.functions.urlnorm import _C, _DEFAULT_PORTS
+
+    auth_rx = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#]*)"
+    port_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _DEFAULT_PORTS.items()
+    )
+    keys = "list_transform(string_split(query, '&'), p -> split_part(p, '=', 1))"
+    return (
+        f"""
+WITH base_u AS (
+  SELECT ({_URL_BASE_SQL}) AS u, event_id FROM events
+),
+spelled AS (
+  SELECT {_URL_SPELL_SQL} AS url FROM base_u
+),
+bare_t AS (SELECT url, regexp_replace(url, '#.*', '') AS bare FROM spelled),
+comp AS (
+  SELECT url, bare,
+    lower(regexp_extract(bare, '{_C}', 1)) AS scheme,
+    lower(regexp_extract(bare, '{_C}', 2)) AS host,
+    regexp_extract(bare, '{_C}', 3) AS port,
+    regexp_extract(bare, '{_C}', 4) AS path,
+    regexp_extract(bare, '{_C}', 5) AS query,
+    regexp_extract(bare, '{auth_rx}', 1) AS authority
+  FROM bare_t
+),
+norm AS (
+  SELECT url,
+    CASE WHEN url = '-' OR url = '' OR url IS NULL OR host = ''
+         OR starts_with(authority, '[') OR contains(authority, '@')
+         OR (path <> '' AND NOT starts_with(path, '/'))
+    THEN url
+    ELSE
+      (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+      || host
+      || (CASE WHEN port = '' OR port = COALESCE(CASE scheme {port_case} END, '')
+               THEN '' ELSE ':' || port END)
+      || (CASE WHEN path = '/' THEN '' ELSE path END)
+      || (CASE WHEN query = '' THEN ''
+               ELSE '?' || CASE
+                 WHEN len(list_distinct({keys})) = len(string_split(query, '&'))
+                 THEN array_to_string(list_sort(string_split(query, '&')), '&')
+                 ELSE query END
+          END)
+    END AS url_norm
+  FROM comp
+)
+SELECT url_norm,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+       COUNT(*) AS occurrences,
+       MIN(url) AS example_raw
+FROM norm GROUP BY 1 HAVING COUNT(DISTINCT url) > 1"""
+    )
 
 
 def _bench_filter(df: DataFrame) -> DataFrame:
@@ -730,27 +1007,24 @@ SELECT doc_id, {redact_pii_oracle_select("line")} FROM lines"""
 
 
 def _pack_chunks_oracle() -> str:
+    """Merged oracle of both chunking geometries (kind='pack' |
+    'slide'), mirroring q_pack_chunks' shared integer schema."""
     L = _SEQ_LEN
+    ml, st = _CHUNK_LEN, _CHUNK_LEN - _CHUNK_OVERLAP
     return (
         _token_lines_cte()
         + f""",
 d AS (SELECT doc_id, length(line) AS n FROM lines WHERE length(line) > 0),
 o AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s FROM d),
 sp AS (SELECT doc_id, n, s, s + n - 1 AS e FROM o),
-ex AS (SELECT doc_id, s, e, unnest(range(s // {L}, e // {L} + 1)) AS chunk_id FROM sp)
-SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(LEAST(e, (chunk_id + 1) * {L} - 1) - GREATEST(s, chunk_id * {L}) + 1) AS BIGINT) AS n_tokens,
-       CAST(MIN(doc_id) AS BIGINT) AS first_doc
-FROM ex GROUP BY chunk_id"""
-    )
-
-
-def _chunk_spans_oracle() -> str:
-    ml, st = _CHUNK_LEN, _CHUNK_LEN - _CHUNK_OVERLAP
-    return (
-        _token_lines_cte()
-        + f""",
+ex AS (SELECT doc_id, s, e, unnest(range(s // {L}, e // {L} + 1)) AS chunk_id FROM sp),
+psel AS (
+  SELECT CAST(chunk_id AS BIGINT) AS id1,
+         CAST(MIN(doc_id) AS BIGINT) AS id2,
+         CAST(SUM(LEAST(e, (chunk_id + 1) * {L} - 1) - GREATEST(s, chunk_id * {L}) + 1) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS v1
+  FROM ex GROUP BY chunk_id
+),
 meta AS (SELECT doc_id, line, length(line) AS m FROM lines WHERE length(line) > 0),
 chars AS (
   SELECT doc_id, i, unicode(substr(line, CAST(i AS INT), 1)) AS c
@@ -762,13 +1036,19 @@ idx AS (
          unnest(range(0, 1 + (GREATEST(m - {ml}, 0) + {st} - 1) // {st})) AS ci
   FROM meta
 ),
-ch AS (SELECT doc_id, ci, ci * {st} AS off, LEAST({ml}, m - ci * {st}) AS len FROM idx)
-SELECT c.doc_id, CAST(c.ci AS BIGINT) AS chunk_idx, CAST(c.off AS BIGINT) AS off,
-       CAST(c.len AS BIGINT) AS n_tokens,
-       CAST(hi.cs - COALESCE(lo.cs, 0) AS BIGINT) AS tok_sum
-FROM ch c
-JOIN cum hi ON hi.doc_id = c.doc_id AND hi.i = c.off + c.len
-LEFT JOIN cum lo ON lo.doc_id = c.doc_id AND lo.i = c.off"""
+ch AS (SELECT doc_id, ci, ci * {st} AS off, LEAST({ml}, m - ci * {st}) AS len FROM idx),
+ssel AS (
+  SELECT c.doc_id AS id1, CAST(c.ci AS BIGINT) AS id2,
+         CAST(c.len AS BIGINT) AS n_tokens,
+         CAST(c.off AS BIGINT) AS v1,
+         CAST(hi.cs - COALESCE(lo.cs, 0) AS BIGINT) AS v2
+  FROM ch c
+  JOIN cum hi ON hi.doc_id = c.doc_id AND hi.i = c.off + c.len
+  LEFT JOIN cum lo ON lo.doc_id = c.doc_id AND lo.i = c.off
+)
+SELECT 'pack' AS kind, id1, id2, n_tokens, v1, CAST(0 AS BIGINT) AS v2 FROM psel
+UNION ALL
+SELECT 'slide', id1, id2, n_tokens, v1, v2 FROM ssel"""
     )
 
 
@@ -1036,8 +1316,9 @@ SELECT username, event_id, epoch_us FROM (
     "token_len_quantiles": _token_len_quantiles_oracle(),
     "pack_chunks": _pack_chunks_oracle(),
     "pack_sequences": _pack_sequences_oracle(),
-    "chunk_spans": _chunk_spans_oracle(),
     "decontaminate": _decontaminate_oracle(),
+    "dsir_select": _dsir_oracle(),
+    "url_canonical": _url_canonical_oracle(),
     "token_histogram": _token_histogram_oracle(),
     "rarity": _rarity_oracle(),
     "redact": _redact_oracle(),
@@ -1069,8 +1350,9 @@ PIPELINE_QUERIES = {
     "token_len_quantiles": q_token_len_quantiles,
     "pack_chunks": q_pack_chunks,
     "pack_sequences": q_pack_sequences,
-    "chunk_spans": q_chunk_spans,
     "decontaminate": q_decontaminate,
+    "dsir_select": q_dsir_select,
+    "url_canonical": q_url_canonical,
     "token_histogram": q_token_histogram,
     "rarity": q_rarity,
     "redact": q_redact,

@@ -20,17 +20,49 @@ from logparser_spark.operators import dedup, multimodal, sampling, similarity, t
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(documents(spark, sf_dir))
+    """Exact-dedup family under one driver row, kind-tagged (frees a
+    slot of the 50-row sweep, loses neither oracle):
 
-
-def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.8)
+    - ``kind='exact'``: the corpus-wide md5-groupBy dedup table —
+      (key=text_hash, id=keeper_doc_id, n=dup_count);
+    - ``kind='incr'``: incremental dedup of an incoming batch against
+      an existing corpus (anti-join on content signatures; at scale the
+      corpus signature table is bucketed by hash so a daily delta joins
+      with zero corpus-side shuffle) — the surviving batch rows as
+      (key=lang|source, id=doc_id, n=1).
+    """
+    docs = documents(spark, sf_dir)
+    exact = dedup.exact_dedup(docs).select(
+        F.lit("exact").alias("kind"),
+        F.col("text_hash").alias("key"),
+        F.col("keeper_doc_id").cast("long").alias("id"),
+        F.col("dup_count").cast("long").alias("n"),
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    corpus = docs.where(bucket < _CORPUS_THR)
+    new = docs.where(~(bucket < _CORPUS_THR))
+    incr = sampling.dedup_incremental(new, corpus).select(
+        F.lit("incr").alias("kind"),
+        F.concat_ws("|", "lang", "source").alias("key"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return exact.unionByName(incr)
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """LSH-pruned near-dup pairs; must equal the all-pairs oracle
-    (recall ~1 at j>=0.8 with r=2,b=64 — see dedup.py)."""
-    return dedup.minhash_lsh_pairs(documents(spark, sf_dir), threshold=0.8)
+    """Both near-dup pair paths under one driver row, method-tagged:
+    ``method='exact'`` is the quadratic-guarded all-pairs n-gram
+    Jaccard baseline, ``method='lsh'`` the banded MinHash plan — whose
+    verified output must EQUAL the baseline at this threshold (recall
+    ~1 at j>=0.8 with r=2,b=64 — see dedup.py), so the oracle is the
+    same Jaccard SQL selected twice."""
+    docs = documents(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return exact.select(F.lit("exact").alias("method"), "*").unionByName(
+        lsh.select(F.lit("lsh").alias("method"), "*")
+    )
 
 
 def q_doc_signatures(spark, sf_dir):
@@ -149,18 +181,153 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def q_media_profile(spark, sf_dir):
-    """Blob stats + decode metadata in one payload pass (media_profile
-    — the JVM hash/sniff columns ride through the decode kernel, so the
-    blob is read once and never joined back)."""
-    return multimodal.media_profile(
-        multimodal.attach_payload(documents(spark, sf_dir))
+    """The multimodal family under one driver row: per-blob stats +
+    decode metadata in one payload pass (media_profile — the JVM
+    hash/sniff columns ride through the decode kernel, so the blob is
+    read once and never joined back), plus the video frame-sampling
+    kernel's output as extra rows tagged ``media_type='frame'``
+    (frame_idx carried in the n_frames column; every other column
+    NULL). Each branch keeps its own plan; the union is free."""
+    payload = multimodal.attach_payload(documents(spark, sf_dir))
+    prof = multimodal.media_profile(payload)
+    frames = multimodal.sample_frames(payload, every_n=30).select(
+        "doc_id",
+        F.lit("frame").alias("media_type"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_md5"),
+        F.lit(None).cast("int").alias("first_char"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.col("frame_idx").cast("int").alias("n_frames"),
     )
+    return prof.unionByName(frames)
 
 
-def q_frame_sample(spark, sf_dir):
-    return multimodal.sample_frames(
-        multimodal.attach_payload(documents(spark, sf_dir)), every_n=30
-    ).select("doc_id", "frame_idx")
+# --- C4 cleaning / paragraph dedup -----------------------------------
+# The documents fixture is one line of space-separated words (no
+# newlines, no punctuation), so both queries derive a multi-line text
+# DETERMINISTICALLY in each engine before running the operator: group
+# every 5 words into a line (the same regex replacement runs in Spark
+# and DuckDB), and for cleaning first give 'table' a terminal '.' so a
+# realistic fraction of lines passes the C4 terminal-punctuation rule,
+# then plant the 'lorem ipsum' / '{' page-rule triggers on a sparse
+# deterministic doc_id subset.
+_PARA_GROUP_RX = r"((?:\S+ ){4}\S+) "
+
+
+def q_cleaning(spark, sf_dir):
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2,
+    operators/cleaning.py) under the driver contract: line keep rules
+    (terminal punctuation + min words) and page drop rules (min kept
+    lines, boilerplate, code). One zero-shuffle Catalyst projection."""
+    from logparser_spark.operators import cleaning
+
+    txt = F.regexp_replace(F.col("text"), r"\btable\b", "table.")
+    txt = F.regexp_replace(txt, _PARA_GROUP_RX, "$1\n")
+    txt = (
+        F.when(F.col("doc_id") % 37 == 0, F.concat(txt, F.lit("\nlorem ipsum")))
+        .when(F.col("doc_id") % 41 == 0, F.concat(txt, F.lit("\nif (x) { return; }")))
+        .otherwise(txt)
+    )
+    docs = documents(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return cleaning.c4_clean(docs)
+
+
+def _cleaning_oracle() -> str:
+    return r"""
+WITH t0 AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''), '\btable\b', 'table.', 'g') AS x
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id,
+         regexp_replace(x, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS x
+  FROM t0
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN x || chr(10) || 'lorem ipsum'
+              WHEN doc_id % 41 = 0 THEN x || chr(10) || 'if (x) { return; }'
+              ELSE x END AS text
+  FROM t1
+),
+ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM t),
+l AS (
+  SELECT doc_id, i, lines[i] AS line
+  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM ls)
+),
+kept AS (
+  SELECT doc_id, i, line FROM l
+  WHERE regexp_matches(line, '[.!?"]\s*$')
+    AND len(string_split_regex(trim(line), '\s+')) >= 5
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY i) AS clean
+  FROM kept GROUP BY doc_id
+),
+page AS (
+  SELECT ls.doc_id,
+         CASE WHEN length(ls.text) = 0 THEN 0 ELSE len(ls.lines) END AS n_lines,
+         COALESCE(per.n_kept, 0) AS n_lines_kept,
+         (COALESCE(per.n_kept, 0) >= 3
+          AND NOT contains(lower(ls.text), 'lorem ipsum')
+          AND NOT contains(ls.text, '{')) AS is_kept,
+         per.clean
+  FROM ls LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines_kept AS INT) AS n_lines_kept,
+       is_kept,
+       CASE WHEN is_kept THEN clean END AS clean_text
+FROM page"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup with document rewrite
+    (RefinedWeb-style, operators/dedup.py:paragraph_dedup): global
+    first occurrence keeps each paragraph, every document re-assembled
+    from its survivors. ``text_clean`` is the rewrite parity witness —
+    the full rewritten document is value-hashed against the oracle, so
+    the rewrite (not just the keeper election) is driver-checked."""
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _PARA_GROUP_RX, "$1\n").alias("text"),
+    )
+    return dedup.paragraph_dedup(docs)
+
+
+def _paragraph_dedup_oracle() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+ps AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM t),
+p AS (
+  SELECT doc_id, i - 1 AS pos, trim(paras[i]) AS para
+  FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i FROM ps)
+),
+nz AS (SELECT * FROM p WHERE para <> ''),
+k AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS is_kept
+  FROM nz
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_paras,
+         COUNT(*) FILTER (WHERE NOT is_kept) AS n_dup_paras,
+         COALESCE(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE is_kept), '') AS text_clean
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(per.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       COALESCE(per.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN per USING (doc_id)"""
 
 
 # per-lang mixing rates for the mix_sample query (deterministic
@@ -181,20 +348,6 @@ def q_mix_sample(spark, sf_dir):
         documents(spark, sf_dir).select("doc_id", "lang", "source"),
         _MIX_RATES,
         default_rate=_MIX_DEFAULT,
-    )
-
-
-def q_dedup_incremental(spark, sf_dir):
-    """Exact dedup of an incoming batch against an existing corpus:
-    anti-join on md5(text) signatures (runtime Bloom-filter pruned;
-    at scale the corpus signature table is bucketed by hash so the
-    daily delta joins with zero corpus-side shuffle)."""
-    docs = documents(spark, sf_dir)
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    corpus = docs.where(bucket < _CORPUS_THR)
-    new = docs.where(~(bucket < _CORPUS_THR))
-    return sampling.dedup_incremental(new, corpus).select(
-        "doc_id", "lang", "source"
     )
 
 
@@ -254,21 +407,12 @@ def _mix_sample_oracle() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {where}"
 
 
-def _dedup_incremental_oracle() -> str:
-    # text equality == md5 equality absent collisions; a collision
-    # would surface as a row-set mismatch here
-    return f"""
-WITH b AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents)
-SELECT n.doc_id, n.lang, n.source
-FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
-  AND NOT EXISTS (SELECT 1 FROM b c WHERE c.h < '{_CORPUS_THR}' AND c.text = n.text)"""
-
-
 DOC_QUERIES = {
     "stratified_sample": q_stratified,
     "mix_sample": q_mix_sample,
-    "dedup_incremental": q_dedup_incremental,
     "curation": q_curation,
+    "cleaning": q_cleaning,
+    "paragraph_dedup": q_paragraph_dedup,
     "stream_dedup": q_stream_dedup,
     "near_dup_clusters": q_near_dup_clusters,
     "embed_near_dup": q_embed_near_dup,
@@ -277,10 +421,8 @@ DOC_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,  # rows-only (hash family not in DuckDB)
     "ann_approx": q_ann_approx,  # rows-only (approximate by design; golden)
     "media_profile": q_media_profile,
-    "frame_sample": q_frame_sample,
-    "dedup_exact": q_dedup_exact,
-    "ngram_jaccard": q_ngram_jaccard,
-    "minhash_lsh": q_minhash_lsh,
+    "dedup_exact": q_dedup_exact,  # kind-tagged: exact + incremental
+    "minhash_lsh": q_minhash_lsh,  # method-tagged: exact baseline + LSH
     "doc_signatures": q_doc_signatures,  # rows-only (hash families not in DuckDB)
     "doc_stats": q_doc_stats,
     "ngram_vocab": q_ngram_vocab,
@@ -304,16 +446,24 @@ inter AS (
 )
 """
 
-_JACCARD_SQL = (
-    _SHINGLE_CTE
-    + """
+_JACCARD_BODY = """
 SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
        CAST(floor(1000.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter)) AS BIGINT) AS jaccard_x1000
 FROM inter i
 JOIN sz sa ON sa.doc_id = i.doc_a
 JOIN sz sb ON sb.doc_id = i.doc_b
-WHERE 1.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
-ORDER BY doc_a, doc_b"""
+WHERE 1.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8"""
+
+# method-tagged twin: the exact all-pairs baseline AND the LSH plan
+# must both equal this Jaccard relation, so the oracle selects it twice
+_JACCARD_SQL = (
+    _SHINGLE_CTE
+    + ", j AS ("
+    + _JACCARD_BODY
+    + """)
+SELECT 'exact' AS method, * FROM j
+UNION ALL
+SELECT 'lsh' AS method, * FROM j"""
 )
 
 
@@ -342,8 +492,9 @@ WITH m AS (
 DOC_ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_oracle(),
     "mix_sample": _mix_sample_oracle(),
-    "dedup_incremental": _dedup_incremental_oracle(),
     "curation": _curation_oracle(),
+    "cleaning": _cleaning_oracle(),
+    "paragraph_dedup": _paragraph_dedup_oracle(),
     "embed_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 x AS (
@@ -362,17 +513,24 @@ SELECT doc_id, media_type, n_bytes, md5(text) AS content_md5,
        CASE WHEN media_type <> 'audio' THEN CAST(64 + (n_bytes * 31) % 129 AS INT) END AS height,
        CASE WHEN media_type <> 'image' THEN CAST(8000 + (n_bytes % 5) * 8000 AS INT) END AS sample_rate,
        CASE WHEN media_type = 'video' THEN CAST(1 + n_bytes % 240 AS INT) END AS n_frames
-FROM m JOIN documents USING (doc_id) ORDER BY doc_id""",
-    "frame_sample": _MEDIA_CTE
-    + """
-SELECT doc_id, CAST(u AS INT) AS frame_idx
+FROM m JOIN documents USING (doc_id)
+UNION ALL
+SELECT doc_id, 'frame', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), CAST(u AS INT)
 FROM (
   SELECT doc_id, unnest(generate_series(0, CAST(n_bytes % 240 AS BIGINT), 30)) AS u
   FROM m WHERE media_type = 'video'
-) ORDER BY doc_id, frame_idx""",
-    "dedup_exact": """
-SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
-FROM documents GROUP BY 1 ORDER BY 1""",
+)""",
+    "dedup_exact": f"""
+WITH b AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents)
+SELECT 'exact' AS kind, md5(text) AS key,
+       CAST(MIN(doc_id) AS BIGINT) AS id, COUNT(*) AS n
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'incr', n.lang || '|' || n.source, CAST(n.doc_id AS BIGINT), CAST(1 AS BIGINT)
+FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
+  AND NOT EXISTS (SELECT 1 FROM b c WHERE c.h < '{_CORPUS_THR}' AND c.text = n.text)""",
     # keeper row per content hash, arg-min by doc_id (single-batch
     # availableNow drain == batch semantics; see q_stream_dedup)
     "stream_dedup": """
@@ -382,8 +540,10 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn = 1""",
-    "ngram_jaccard": _JACCARD_SQL,
-    "minhash_lsh": _JACCARD_SQL,  # LSH output must equal the exact baseline
+    # method-tagged: the exact baseline AND the LSH plan, both equal
+    # the same Jaccard relation (text equality == md5 equality absent
+    # collisions — a collision would surface as a row-set mismatch)
+    "minhash_lsh": _JACCARD_SQL,
     # connected components via recursive reachability from each node,
     # component id = min reachable root (same min-label semantics as
     # the Spark propagation loop)

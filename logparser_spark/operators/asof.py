@@ -44,13 +44,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pick_time_bucket(
+    left: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    rows_per_task: int,
+) -> int | None:
+    """Key-skew probe for ``time_bucket="auto"``: one small aggregate
+    job over the LEFT side (shuffle bounded by key cardinality thanks
+    to map-side partial aggregation) measuring the hottest key's row
+    count and the time range. Below ``rows_per_task`` the single-window
+    plan is safe (no key funnels more than a task's worth of rows
+    through one reducer) and cheaper — one window, no join-back; above
+    it, pick the bucket width that splits the hottest key into
+    ~rows-per-task slices assuming its rows spread over the observed
+    range (a heuristic: a key whose rows cluster into one bucket still
+    degrades to the single-window behaviour FOR THAT BUCKET only).
+    Plan choice never affects results — both plans are oracle-identical.
+    """
+    probe = (
+        left.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.col(time_col).cast("bigint")).alias("mn"),
+            F.max(F.col(time_col).cast("bigint")).alias("mx"),
+        )
+        .agg(
+            F.max("c").alias("hot"),
+            F.min("mn").alias("t_lo"),
+            F.max("mx").alias("t_hi"),
+        )
+        .first()
+    )
+    if probe is None or probe["hot"] is None or probe["hot"] <= rows_per_task:
+        return None
+    span = max(1, int(probe["t_hi"]) - int(probe["t_lo"]) + 1)
+    return max(1, span * rows_per_task // int(probe["hot"]))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
     time_col: str,
     value_cols: list[str],
-    time_bucket: int | None = None,
+    time_bucket: int | None | str = None,
+    auto_rows_per_task: int = 2_000_000,
 ) -> DataFrame:
     """Left as-of join: all left columns plus, for each value col, the
     right side's value at the latest right.time <= left.time with equal
@@ -71,7 +110,18 @@ def asof_join(
     hot-key-safe two-phase plan — identical results, but no single task
     ever holds more than one (key, time-bucket) slice. Pick the bucket
     so a hot key's densest bucket fits a task (e.g. an hour of events).
+    ``time_bucket="auto"`` runs a cheap key-skew probe first
+    (``_pick_time_bucket``): single-window when the hottest left key
+    holds <= ``auto_rows_per_task`` rows, else the bucketed plan with a
+    derived bucket width — so callers get the cheap plan on balanced
+    keys and the skew-safe one on hot keys without hand-tuning.
     """
+    if time_bucket == "auto":
+        time_bucket = _pick_time_bucket(
+            left, key_cols, time_col, auto_rows_per_task
+        )
+    elif isinstance(time_bucket, str):
+        raise ValueError(f"time_bucket must be int, None or 'auto', got {time_bucket!r}")
     overlap = [c for c in left.columns if c in value_cols]
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}")

@@ -548,7 +548,7 @@ def near_dup_clusters(
     pairs: DataFrame | None = None,
     threshold: float = JACCARD_THRESHOLD,
     max_iters: int = 25,
-    algorithm: str = "label_prop",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     near-dup pair graph, one row per document with
@@ -564,22 +564,23 @@ def near_dup_clusters(
     ``algorithm`` picks the components plan; both produce identical
     output (pytest-pinned equality):
 
-    - ``"label_prop"`` (default): distributed min-label propagation —
-      each iteration is one join + groupBy over the label table
+    - ``"star"`` (default): alternating large-star/small-star (see
+      ``_cc_star``) — O(log^2 n) rounds REGARDLESS of component
+      diameter, bounded per-round shuffle. Default because diameter is
+      a property of the data, not the plan: an incremental crawl where
+      dups chain a->b->c->... (or one extreme billion-row component)
+      would need diameter-many rounds under label propagation, and the
+      operator cannot know the diameter in advance.
+    - ``"label_prop"``: distributed min-label propagation — each
+      iteration is one join + groupBy over the label table
       (labels(x) <- min(labels(x), min of neighbours' labels)),
-      converging in O(component diameter) rounds. Near-dup components
-      at thresholds >= 0.8 are shallow, so this is the cheaper plan
-      per round (one groupBy vs star's two). Each iteration is
-      localCheckpoint()ed so the plan/lineage stays constant-size
-      across rounds, and convergence is detected with a count of
-      changed labels (a small aggregate job on the label table, NOT a
-      collect of it).
-    - ``"star"``: alternating large-star/small-star (see ``_cc_star``)
-      — O(log^2 n) rounds regardless of diameter, bounded per-round
-      shuffle. The scale path for deep chains (incremental crawl
-      snapshots where dups chain a->b->c->...) or one extreme
-      billion-row component, where label propagation would need
-      diameter-many rounds.
+      converging in O(component diameter) rounds. Slightly cheaper per
+      round (one groupBy vs star's two) — the opt-in for graphs KNOWN
+      shallow, e.g. single-snapshot near-dup graphs at thresholds
+      >= 0.8. Each iteration is localCheckpoint()ed so the plan/lineage
+      stays constant-size across rounds, and convergence is detected
+      with a count of changed labels (a small aggregate job on the
+      label table, NOT a collect of it).
     """
     if algorithm not in ("label_prop", "star"):
         raise ValueError(

@@ -127,34 +127,142 @@ def dsir_score(
 ) -> DataFrame:
     """Per-document importance weight: (doc_id, n_feat, dsir_logw).
 
-    ``log_ratio`` (a B-vector) ships to executors as a broadcast
-    closure; scoring is one np.bincount + dot product per row inside a
-    mapInPandas kernel — a pure map stage, zero shuffle. Empty/NULL
-    token arrays score 0 with n_feat 0 (no features, weight ratio 1).
+    ``log_ratio`` (a B-vector) ships to executors inside the task
+    closure — at the default B=10k that is 80 KB per task binary, far
+    below the point where a broadcast pays for itself, and unlike a
+    broadcast it leaves no executor-resident block behind (repeated
+    scoring calls in a long-lived session used to accumulate
+    never-unpersisted broadcasts). Above ``_BROADCAST_MIN_BYTES`` a
+    broadcast IS used and registered with ``operators.util`` so the
+    session's next ``release_persisted()`` unpersists it. Scoring is
+    one np.bincount + dot product per row inside a mapInPandas kernel —
+    a pure map stage, zero shuffle. Empty/NULL token arrays score 0
+    with n_feat 0 (no features, weight ratio 1).
     """
-    buckets = len(log_ratio)
-    bc = df.sparkSession.sparkContext.broadcast(log_ratio)
+    out_t = "double" if np.issubdtype(log_ratio.dtype, np.floating) else "long"
+    out_col = "dsir_logw" if out_t == "double" else "dsir_w"
+    return _score_with(df, log_ratio, id_col, tokens_col, out_col, out_t)
+
+
+# below this, ship the ratio vector as a broadcast (per-executor, not
+# per-task); 2 MB of closure per task is where the copy cost shows
+_BROADCAST_MIN_BYTES = 2 << 20
+
+
+def _score_with(
+    df: DataFrame,
+    lam_vec: np.ndarray,
+    id_col: str,
+    tokens_col: str,
+    out_col: str,
+    out_type: str,
+) -> DataFrame:
+    buckets = len(lam_vec)
+    acc_dtype = np.float64 if out_type == "double" else np.int64
+    if lam_vec.nbytes >= _BROADCAST_MIN_BYTES:
+        from logparser_spark.operators.util import track_broadcast
+
+        bc = df.sparkSession.sparkContext.broadcast(lam_vec)
+        track_broadcast(bc)
+        get_lam = lambda: bc.value  # noqa: E731 — late-bound executor fetch
+    else:
+        get_lam = lambda: lam_vec  # noqa: E731 — plain closure capture
 
     def score(batches):
-        lam = bc.value
+        lam = get_lam()
         for pdf in batches:
             n = len(pdf)
-            logw = np.zeros(n, dtype=np.float64)
+            w = np.zeros(n, dtype=acc_dtype)
             n_feat = np.zeros(n, dtype=np.int64)
             for i, x in enumerate(pdf[tokens_col]):
                 if x is None or len(x) == 0:
                     continue
                 ids = _bucket_ids(np.asarray(x, dtype=np.int64), buckets)
                 n_feat[i] = len(ids)
-                logw[i] = lam[ids].sum()
+                w[i] = lam[ids].sum()
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "n_feat": n_feat, "dsir_logw": logw}
+                {id_col: pdf[id_col], "n_feat": n_feat, out_col: w}
             )
 
     id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, tokens_col).mapInPandas(
-        score, f"{id_col} {id_t}, n_feat long, dsir_logw double"
+        score, f"{id_col} {id_t}, n_feat long, {out_col} {out_type}"
     )
+
+
+DSIR_RATIO_SCALE = 1 << 20  # fixed-point scale of the integer ratio mode
+
+
+def dsir_ratio_int(
+    target_hist: pd.DataFrame,
+    raw_hist: pd.DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    alpha: int = 1,
+    scale: int = DSIR_RATIO_SCALE,
+) -> np.ndarray:
+    """Integer-exact per-bucket importance weight — the engine-portable
+    twin of ``dsir_log_ratio`` used by the driver-contract query:
+
+        lam_q[b] = floor(scale * (p_b + alpha) * Q / ((q_b + alpha) * P))
+
+    with P = sum_b (p_b + alpha), Q = sum_b (q_b + alpha). Computed in
+    exact arbitrary-precision python ints (never float64), so a DuckDB
+    HUGEINT oracle reproduces every value bit-for-bit — the log-domain
+    weights (``dsir_log_ratio``) are the paper-faithful default but
+    their floats are not cross-engine hashable; selection quality is
+    equivalent for the smooth-histogram regime both operate in (the
+    per-bucket ratio is the same quantity, summed instead of
+    log-summed). Fits int64: lam_q <= scale * (Ptot+alpha) * Q / P;
+    callers keep scale modest (2^20) so doc scores (n_feat * lam_max)
+    stay far below 2^63 — asserted here, not assumed.
+    """
+
+    def dense(h: pd.DataFrame) -> np.ndarray:
+        v = np.zeros(buckets, dtype=np.int64)
+        if len(h):
+            v[h["bucket"].to_numpy()] = h["count"].to_numpy()
+        return v
+
+    p = dense(target_hist)
+    q = dense(raw_hist)
+    P = int(p.sum()) + alpha * buckets
+    Q = int(q.sum()) + alpha * buckets
+    lam = np.empty(buckets, dtype=np.int64)
+    for b in range(buckets):
+        v = (scale * (int(p[b]) + alpha) * Q) // ((int(q[b]) + alpha) * P)
+        if v >= (1 << 62):
+            raise ValueError(
+                f"ratio weight overflow risk at bucket {b}: {v} >= 2^62; "
+                "lower scale or alpha-smooth harder"
+            )
+        lam[b] = v
+    return lam
+
+
+def dsir_select_int(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    buckets: int = DSIR_BUCKETS,
+    alpha: int = 1,
+    scale: int = DSIR_RATIO_SCALE,
+) -> DataFrame:
+    """DSIR selection in the integer-ratio mode: deterministic top-k by
+    summed fixed-point bucket ratios, ties broken by ``id_col``. The
+    distributed plan is IDENTICAL to ``dsir_select`` (two
+    feature-domain-bounded histogram shuffles, one tiny weight vector
+    shipped to a pure-map scoring kernel, TakeOrdered(k)) — only the
+    driver-side weight arithmetic differs (exact ints vs log floats),
+    which is what makes this variant DuckDB-oracle-checkable
+    end to end. Output: (doc_id, n_feat, dsir_w).
+    """
+    t_hist = hashed_ngram_hist(target, tokens_col, buckets).toPandas()
+    r_hist = hashed_ngram_hist(raw, tokens_col, buckets).toPandas()
+    lam = dsir_ratio_int(t_hist, r_hist, buckets, alpha, scale)
+    scored = dsir_score(raw, lam, id_col, tokens_col)
+    return scored.orderBy(F.desc("dsir_w"), F.col(id_col)).limit(k)
 
 
 def dsir_select(

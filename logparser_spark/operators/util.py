@@ -15,6 +15,11 @@ from pyspark.sql import DataFrame
 # layers call ``release_persisted`` between queries (after the previous
 # query's action has materialized its result).
 _TRACKED: list[DataFrame] = []
+# Broadcast variables registered by operators that ship a stats vector
+# to executors (dsir weight vectors above the closure-size cutoff):
+# same lifecycle problem as persisted frames — executor-resident blocks
+# survive until an explicit unpersist.
+_TRACKED_BC: list = []
 
 
 def track_persist(
@@ -24,6 +29,15 @@ def track_persist(
     out = df.persist(level)
     _TRACKED.append(out)
     return out
+
+
+def track_broadcast(bc) -> None:
+    """Register a Broadcast for release by ``release_persisted`` (same
+    consumer-materialized contract: unpersisting while a plan that
+    references the broadcast can still re-execute forces a re-fetch
+    from the driver — correct but slow — so harness layers release
+    between queries, like the persisted frames)."""
+    _TRACKED_BC.append(bc)
 
 
 def release_persisted() -> int:
@@ -47,6 +61,13 @@ def release_persisted() -> int:
         df = _TRACKED.pop()
         try:
             df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    while _TRACKED_BC:
+        bc = _TRACKED_BC.pop()
+        try:
+            bc.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped

@@ -26,6 +26,26 @@ record; an unparseable interior (or newline-terminated) line can
 therefore only mean external corruption of a COMMITTED record, and the
 reader raises loudly instead of silently re-ingesting a chunk whose
 sink files may since have been compacted away (silent duplicates).
+
+Two boundary cases of that invariant, both resolved toward fail-safe:
+
+- PAGE ATOMICITY. "A torn write never includes its trailing newline"
+  assumes the OS persists an appended record's pages in order. After a
+  crash with no completed fsync, a record spanning a page boundary can
+  in principle land newline-terminated but interior-garbled — which
+  this reader counts as corruption of a committed record and refuses to
+  resume, turning a benign never-committed record into a manual step.
+  That is the right trade for <4 KB records (the common case fits one
+  page; the alternative — silently re-running the chunk — risks
+  duplicate rows when the garbling hit a genuinely committed record).
+  The raised error says so: deleting the final line by hand IS the
+  valid recovery when the operator knows the record was mid-commit.
+- LEGACY FORMAT. Writers before the truncate-on-commit change
+  newline-TERMINATED torn fragments instead of truncating them, so a
+  manifest carrying such a crash artifact now parses as a corrupted
+  interior line and refuses to resume. Indistinguishable from real
+  corruption by construction; same manual recovery (delete the line —
+  its chunk was never committed under the old writer either).
 """
 
 from __future__ import annotations
@@ -67,7 +87,12 @@ class Manifest:
                     f"manifest {self.path} line {i + 1} is corrupted; "
                     "a committed record is unreadable — refusing to "
                     "resume (re-ingesting its chunk would duplicate "
-                    "rows). Restore the manifest or re-create the sink."
+                    "rows). Restore the manifest or re-create the sink. "
+                    "If this is the FINAL line and the writer crashed "
+                    "mid-commit (a page-boundary torn write, or a "
+                    "pre-truncate-format writer that newline-terminated "
+                    "its fragment), the record never committed and "
+                    "deleting that line is the valid recovery."
                 )
             done[rec["chunk_id"]] = rec
         return done

@@ -195,6 +195,7 @@ class MultiSinkWriter:
         the freshness cursor an incremental consumer resumes from."""
         _check_chunk_id(chunk_id)
         out: dict[str, dict] = {}
+        keys: dict[str, tuple] = {}  # partition -> comparison key of its max
         for f in glob.glob(
             os.path.join(self.data_dir, "**", f"{chunk_id}-*.parquet"),
             recursive=True,
@@ -207,8 +208,20 @@ class MultiSinkWriter:
             rec["rows"] += rows
             rec["bytes"] += os.path.getsize(f)
             rec["files"] += 1
-            if wm is not None and (rec["watermark"] is None or wm > rec["watermark"]):
-                rec["watermark"] = wm
+            if wm is not None:
+                # compare on the EPOCH key, not the ISO rendering:
+                # lexicographic ISO comparison is wrong the moment a
+                # foreign writer mixes naive and tz-aware (or
+                # different-precision) renderings in one partition —
+                # exactly the case _footer_stats anticipates. Stats the
+                # key can't order (non-timestamp strings) sort behind
+                # every real timestamp, lexicographically among
+                # themselves (kind=0 vs 1 below).
+                key, iso = wm
+                k = (1, key, "") if key is not None else (0, 0.0, iso)
+                if part not in keys or k > keys[part]:
+                    keys[part] = k
+                    rec["watermark"] = iso
         return out
 
     def remove_chunk(self, chunk_id: str) -> None:
@@ -229,14 +242,19 @@ def footer_row_count(paths) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in paths)
 
 
-def _footer_stats(path: str, time_col: str) -> tuple[int, str | None]:
-    """(row count, max-of-``time_col``) of one parquet file from footer
-    metadata alone — one footer read serves both. The max is the file's
-    event-time watermark, rendered ISO-8601; None when the column is
-    absent or its statistics were not written (stats are on by default
-    for timestamp leaves, but a foreign writer may omit them — a
-    missing watermark must degrade to "unknown", never to a wrong
-    time)."""
+def _footer_stats(path: str, time_col: str) -> tuple[int, tuple | None]:
+    """(row count, watermark) of one parquet file from footer metadata
+    alone — one footer read serves both. The watermark is the max of
+    ``time_col``, returned as ``(epoch_seconds | None, iso_string)``:
+    the epoch key is what callers COMPARE on (naive datetimes are
+    pinned to UTC — this writer's own convention — so mixing naive and
+    tz-aware files orders correctly), the ISO string is what they
+    RENDER. None when the column is absent or its statistics were not
+    written (stats are on by default for timestamp leaves, but a
+    foreign writer may omit them — a missing watermark must degrade to
+    "unknown", never to a wrong time)."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -245,16 +263,23 @@ def _footer_stats(path: str, time_col: str) -> tuple[int, str | None]:
         None,
     )
     wm = None
-    if idx is not None:
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                continue
-            if wm is None or st.max > wm:
-                wm = st.max
-    if wm is not None and hasattr(wm, "isoformat"):
-        wm = wm.isoformat()
-    return md.num_rows, wm if wm is None or isinstance(wm, str) else str(wm)
+    wm_key = None
+    for rg in range(md.num_row_groups) if idx is not None else ():
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            continue
+        v = st.max
+        if isinstance(v, _dt.datetime):
+            key = (
+                v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v
+            ).timestamp()
+        else:
+            key = None
+        cand = (1, key, "") if key is not None else (0, 0.0, str(v))
+        if wm is None or cand > wm:
+            wm = cand
+            wm_key = (key, v.isoformat() if hasattr(v, "isoformat") else str(v))
+    return md.num_rows, wm_key
 
 
 def chunk_counts_from_footers(root: str, chunk_id: str) -> tuple[int, dict[str, int]]:

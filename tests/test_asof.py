@@ -296,3 +296,41 @@ def test_range_join_inverted_interval_matches_nothing(spark):
     )
     rows = range_join(left, right, "t", "lo", "hi", 3600).collect()
     assert [(r["event_id"], r["iv"]) for r in rows] == [(1, 8)]
+
+
+def test_asof_auto_plan_select(spark):
+    """time_bucket='auto' must (a) return oracle-identical results in
+    both regimes and (b) actually switch plans at the threshold: a tiny
+    auto_rows_per_task forces the bucketed two-phase plan (visible as
+    the phase-2 equi-join in the physical plan), a huge one keeps the
+    single window."""
+    rng = random.Random(77)
+    left_rows = [(i, rng.randrange(3), rng.randrange(500)) for i in range(300)]
+    snap_kt = {(rng.randrange(3), rng.randrange(500)) for _ in range(40)}
+    right_rows = [(k, t, 1000 * k + t) for k, t in snap_kt]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, snap long")
+    base = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(left, right, ["k"], "t", ["snap"]).collect()
+    }
+    forced = asof_join(
+        left, right, ["k"], "t", ["snap"],
+        time_bucket="auto", auto_rows_per_task=10,
+    )
+    relaxed = asof_join(
+        left, right, ["k"], "t", ["snap"],
+        time_bucket="auto", auto_rows_per_task=10_000_000,
+    )
+    assert {r["event_id"]: r["snap"] for r in forced.collect()} == base
+    assert {r["event_id"]: r["snap"] for r in relaxed.collect()} == base
+    # plan witness: the bucketed path joins the carry grid back in
+    assert "__carry" in forced._jdf.queryExecution().analyzed().toString()
+    assert "__carry" not in relaxed._jdf.queryExecution().analyzed().toString()
+
+
+def test_asof_auto_rejects_bad_string(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "event_id long, k long, t long")
+    right = spark.createDataFrame([(1, 1, 5)], "k long, t long, snap long")
+    with pytest.raises(ValueError, match="auto"):
+        asof_join(df, right, ["k"], "t", ["snap"], time_bucket="daily")

@@ -233,7 +233,9 @@ def test_star_clusters_equal_label_prop(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
     lp = {
         r.doc_id: (r.cluster_id, r.is_keeper)
-        for r in dedup.near_dup_clusters(docs, pairs=pairs).collect()
+        for r in dedup.near_dup_clusters(
+            docs, pairs=pairs, algorithm="label_prop"
+        ).collect()
     }
     st = {
         r.doc_id: (r.cluster_id, r.is_keeper)
@@ -246,8 +248,9 @@ def test_star_clusters_equal_label_prop(spark, docs):
 
 def test_star_converges_on_deep_chain(spark):
     """A 60-deep dup chain: label_prop needs O(diameter) rounds and
-    raises at max_iters=10; star converges in O(log n) rounds on the
-    SAME budget — the documented deep-chain scale path."""
+    raises at max_iters=10; star (the default since r5) converges in
+    O(log n) rounds on the SAME budget — the documented deep-chain
+    scale path."""
     n = 60
     docs = spark.createDataFrame(
         [(i, "x") for i in range(n)], "doc_id long, text string"
@@ -256,10 +259,11 @@ def test_star_converges_on_deep_chain(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="algorithm='star'"):
-        dedup.near_dup_clusters(docs, pairs=chain, max_iters=10)
-    out = dedup.near_dup_clusters(
-        docs, pairs=chain, max_iters=10, algorithm="star"
-    ).collect()
+        dedup.near_dup_clusters(
+            docs, pairs=chain, max_iters=10, algorithm="label_prop"
+        )
+    # the default path IS the deep-chain-safe one
+    out = dedup.near_dup_clusters(docs, pairs=chain, max_iters=10).collect()
     assert {r.cluster_id for r in out} == {0}
     assert sum(r.is_keeper for r in out) == 1
 
