@@ -2,9 +2,15 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-This container has no image/audio libraries, so the actual
-decode-bytes step is STUBBED (``decoder='real'`` raises
-NotImplementedError with the intended Pillow/ffmpeg call spelled out);
+The decode-bytes step probes OPPORTUNISTICALLY for real decoders at
+run time — Pillow (image), soundfile (audio), the ffprobe binary
+(video metadata, payload streamed over stdin) — and ``decoder='real'``
+raises NotImplementedError only for payload types whose decoder is
+genuinely absent (this container ships none of the three; environments
+that do get real decode through the same kernels, and the tests
+activate there instead of skipping). The remaining honest stub is
+frame EXTRACTION (``sample_frames(decoder='real')`` needs a full
+ffmpeg decode-to-frames pipe, not just ffprobe metadata);
 ``decoder='fake'`` substitutes a deterministic arithmetic on the bytes
 so the Spark-side plumbing — schema, partitioning, UDF signature,
 Arrow batch shape — is real and value-tested end-to-end (the fake
@@ -165,6 +171,38 @@ def _real_decoders() -> dict:
         out["audio"] = _aud
     except Exception:
         pass
+    # video: ffprobe (ffmpeg suite) — a BINARY probe, not an import:
+    # same opportunistic pattern, payload streamed over stdin so no
+    # temp file ever hits executor-local disk
+    import shutil as _shutil
+
+    ffprobe = _shutil.which("ffprobe")
+    if ffprobe:
+        import json as _json
+        import subprocess as _sp
+
+        def _vid(payload: bytes):
+            proc = _sp.run(
+                [
+                    ffprobe, "-v", "error", "-print_format", "json",
+                    "-show_streams", "-select_streams", "v:0", "pipe:0",
+                ],
+                input=payload,
+                capture_output=True,
+                timeout=60,
+            )
+            if proc.returncode != 0:
+                raise ValueError(
+                    f"ffprobe failed: {proc.stderr[:200].decode(errors='replace')}"
+                )
+            streams = _json.loads(proc.stdout)["streams"]
+            v = next(s for s in streams if s.get("codec_type") == "video")
+            # nb_frames is container metadata; absent (e.g. raw
+            # streams) -> None rather than a decoded full-scan count
+            nf = int(v["nb_frames"]) if v.get("nb_frames") else None
+            return int(v["width"]), int(v["height"]), nf
+
+        out["video"] = _vid
     return out
 
 
@@ -186,6 +224,9 @@ def _real_decode(pdf: pd.DataFrame) -> pd.DataFrame:
         if mt == "image":
             w, h = decoders["image"](bytes(payload))
             width.append(w); height.append(h); rate.append(None); frames.append(None)
+        elif mt == "video":
+            w, h, nf = decoders["video"](bytes(payload))
+            width.append(w); height.append(h); rate.append(None); frames.append(nf)
         else:  # audio
             sr = decoders["audio"](bytes(payload))
             width.append(None); height.append(None); rate.append(sr); frames.append(None)
@@ -231,12 +272,12 @@ def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
 def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas decode: binary payload -> typed metadata row.
 
-    ``decoder='real'`` probes for Pillow (image) / soundfile (audio)
-    at run time and decodes with whatever is importable, raising only
-    for payload types with no decoder present (video needs ffprobe;
-    this container ships none of the three, so here the real path
-    raises — but the code is exercisable wherever the libs exist, and
-    the unit test skips instead of failing when they are absent).
+    ``decoder='real'`` probes for Pillow (image) / soundfile (audio) /
+    the ffprobe binary (video) at run time and decodes with whatever is
+    present, raising only for payload types with no decoder available
+    (this container ships none of the three, so here the real path
+    raises — but the code is exercisable wherever the libs/binaries
+    exist, and the unit tests skip instead of failing when absent).
     'fake' keeps identical plumbing with deterministic, SQL-reproducible
     output.
     """

@@ -160,3 +160,59 @@ def test_empty_and_null_tokens_score_zero(spark):
     assert got[2]["n_feat"] == 0 and got[2]["dsir_logw"] == 0.0
     assert got[3]["n_feat"] == 0 and got[3]["dsir_logw"] == 0.0
     assert got[1]["n_feat"] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_select_int_matches_python_model(spark):
+    """The integer-ratio mode (the driver-contract variant): weights and
+    the selected set must equal a pure-python exact-arithmetic model."""
+    rng = random.Random(19)
+    buckets = 97
+    scale = 1 << 20
+    raw_rows = _corpus(rng, 80, 0, 60)
+    # target skewed to a narrow vocab band so selection is nontrivial
+    target_rows = _corpus(rng, 12, 10, 20)
+    raw = spark.createDataFrame(raw_rows, "doc_id long, tokens array<int>")
+    target = spark.createDataFrame(target_rows, "doc_id long, tokens array<int>")
+
+    from collections import Counter
+
+    p = Counter()
+    for _, toks in target_rows:
+        p.update(py_bucket_ids(toks, buckets))
+    q = Counter()
+    for _, toks in raw_rows:
+        q.update(py_bucket_ids(toks, buckets))
+    P = sum(p.values()) + buckets
+    Q = sum(q.values()) + buckets
+    lam = {b: (scale * (p.get(b, 0) + 1) * Q) // ((q.get(b, 0) + 1) * P)
+           for b in range(buckets)}
+    want = []
+    for i, toks in raw_rows:
+        ids = py_bucket_ids(toks, buckets)
+        want.append((i, len(ids), sum(lam[b] for b in ids)))
+    k = 15
+    want_top = sorted(want, key=lambda r: (-r[2], r[0]))[:k]
+
+    got = dsir.dsir_select_int(raw, target, k=k, buckets=buckets, scale=scale)
+    got_rows = [(r["doc_id"], r["n_feat"], r["dsir_w"]) for r in got.collect()]
+    assert sorted(got_rows) == sorted(want_top)
+
+
+def test_score_small_vector_uses_closure_not_broadcast(spark):
+    """Weight vectors under the broadcast cutoff ship in the task
+    closure — no executor-resident broadcast block is left behind (the
+    old per-call broadcasts were never unpersisted). Above the cutoff a
+    broadcast IS used and registered for release_persisted()."""
+    import numpy as np
+
+    from logparser_spark.operators import util
+
+    df = spark.createDataFrame([(1, [5, 6])], "doc_id long, tokens array<int>")
+    before = len(util._TRACKED_BC)
+    dsir.dsir_score(df, np.zeros(10, dtype=np.float64)).collect()
+    assert len(util._TRACKED_BC) == before  # closure path: nothing tracked
+    big = np.zeros((dsir._BROADCAST_MIN_BYTES // 8) + 1, dtype=np.float64)
+    dsir.dsir_score(df, big).collect()
+    assert len(util._TRACKED_BC) == before + 1  # broadcast path: tracked
+    assert util.release_persisted() >= 1
+    assert len(util._TRACKED_BC) == 0

@@ -150,3 +150,35 @@ def test_payload_pruned_from_decode_scan(media):
     carry the blob."""
     out = mm.decode_media(media).select("doc_id", "width")
     assert "payload" not in out.columns
+
+
+def test_decode_media_real_video_with_ffprobe(spark):
+    """Exercised wherever the ffmpeg suite exists (skipped in this
+    container): a real container-format video probes to its true
+    dimensions + frame count through the same mapInPandas plumbing as
+    the fake path. The payload is synthesized with ffmpeg's testsrc so
+    the test carries no binary fixture."""
+    import shutil
+    import subprocess
+
+    decoders = mm._real_decoders()
+    if "video" not in decoders or not shutil.which("ffmpeg"):
+        pytest.skip("ffprobe/ffmpeg not present in this environment")
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=size=16x8:rate=5:duration=1",
+            "-f", "avi", "pipe:1",
+        ],
+        capture_output=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:300]
+    payload = proc.stdout
+    df = spark.createDataFrame(
+        [(1, "video", payload, len(payload))], schema=mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(df, decoder="real").collect()[0]
+    assert (row["width"], row["height"]) == (16, 8)
+    assert row["n_frames"] == 5
+    assert row["sample_rate"] is None
