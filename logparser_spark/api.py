@@ -72,9 +72,66 @@ class LogFilter:
 
 
 class LogPipelineAPI:
-    def __init__(self, spark: SparkSession, sink_root: str):
+    def __init__(self, spark: SparkSession, sink_root: str, cache=None):
+        from logparser_spark.cache import TTLResultCache
+
         self.spark = spark
         self.root = sink_root
+        # C1: TTL cache of MATERIALIZED responses (FilterCacheService
+        # parity — 5 min filtered / 30 min default); see cache.py
+        self.cache = cache if cache is not None else TTLResultCache()
+
+    # -- C1/C4/C5: the cached-response surface -------------------------
+    # endpoint name -> (builder method, takes a LogFilter first arg)
+    _CACHEABLE = {
+        "logs": ("get_logs", True),
+        "statistics": ("get_statistics", True),
+        "top_urls": ("get_top_urls", True),
+        "top_users": ("get_top_users", True),
+        "statuses": ("get_statuses", False),
+        "actions": ("get_actions", False),
+    }
+
+    def collect_cached(self, endpoint: str, flt: LogFilter | None = None, **params):
+        """C1: the materialized-response path an HTTP layer serves from —
+        collect the endpoint's DataFrame once and cache the row list
+        under (endpoint, filter fingerprint, params), with the
+        reference's two-tier TTL (filtered results expire in 5 min,
+        unfiltered defaults in 30). The cached object is the ROWS, not
+        the plan: a cached DataFrame would re-execute per read.
+        """
+        meth, takes_filter = self._CACHEABLE[endpoint]
+        from dataclasses import astuple
+
+        key = (
+            endpoint,
+            astuple(flt) if flt is not None else None,
+            tuple(sorted(params.items())),
+        )
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        fn = getattr(self, meth)
+        df = fn(flt, **params) if takes_filter else fn(**params)
+        rows = df.collect()
+        self.cache.put(
+            key, rows, filtered=flt is not None and not flt.is_empty()
+        )
+        return rows
+
+    def on_data_change(self) -> int:
+        """C4 at the cache tier: evict every cached response after a
+        load commits (the summary-table tier already recomputes per
+        load — plans/pipeline.run_aggregates). The reference calls the
+        eviction from the loader (LogFileParser.java:714-719); here the
+        load orchestration calls this. Returns entries dropped."""
+        return self.cache.invalidate_all()
+
+    def sweep_cache(self) -> int:
+        """C5 eviction semantics; the host owns the 60 s cadence (the
+        reference uses a Spring @Scheduled — scheduling is not an
+        engine concern, expiry correctness is and is tested)."""
+        return self.cache.sweep()
 
     def _facts(self, flt: LogFilter | None) -> DataFrame:
         df = read_sink(self.spark, self.root).filter(F.col("valid") == 1)
