@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "redact",
     "token_histogram",
     "rarity",
+    "lm_score",
     "decontaminate",
     "dsir_select",
     "url_canonical",

@@ -923,6 +923,59 @@ def q_rarity(spark, sf_dir):
     return tokenstats.rarity_score(tokenized_events(spark, sf_dir))
 
 
+_LM_SCALE = 10**9
+_LM_TRAIN_MOD = 5  # reference slice: doc_id % 5 == 0 (~20% of docs)
+
+
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM fluency gate (operators/lmscore.py,
+    arXiv:1911.00359): model trained on the ``doc_id % 5 == 0``
+    reference slice, every doc scored in integer fixed-point —
+    ``(scale*(c(bigram)+1)) // (c(prev)+V)`` per transition, pure
+    integer floor division, so the driver row is DuckDB-oracle-exact
+    (the float perplexity twin is pytest-differential-pinned).
+    Plan: two domain-bounded train aggregates -> one broadcast ->
+    zero-shuffle scoring map."""
+    from logparser_spark.operators import lmscore
+
+    toks = tokenized_events(spark, sf_dir)
+    train = toks.where(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    return lmscore.lm_score(toks, train, scale=_LM_SCALE)
+
+
+def _lm_score_oracle() -> str:
+    return (
+        _token_lines_cte()
+        + f""",
+chars AS (
+  SELECT doc_id, unicode(substr(line, CAST(i AS INT), 1)) AS c, i
+  FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i FROM lines)
+),
+big AS (
+  SELECT a.doc_id, a.c AS prev, b.c AS tok
+  FROM chars a JOIN chars b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+tb AS (SELECT prev, tok, COUNT(*) AS cbg FROM big
+       WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY 1, 2),
+tu AS (SELECT prev, SUM(cbg) AS cu FROM tb GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT c) AS v FROM chars WHERE doc_id % {_LM_TRAIN_MOD} = 0),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_big,
+         SUM(({_LM_SCALE} * (COALESCE(tb.cbg, 0) + 1)) // (COALESCE(tu.cu, 0) + v.v)) AS lm_sum
+  FROM big g
+  LEFT JOIN tb ON g.prev = tb.prev AND g.tok = tb.tok
+  LEFT JOIN tu ON g.prev = tu.prev
+  CROSS JOIN v
+  GROUP BY 1
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_big, 0) AS BIGINT) AS n_big,
+       CAST(COALESCE(p.lm_sum, 0) AS BIGINT) AS lm_sum,
+       CAST(COALESCE(p.lm_sum // p.n_big, 0) AS BIGINT) AS lm_mean
+FROM lines l LEFT JOIN per p USING (doc_id)"""
+    )
+
+
 def q_redact(spark, sf_dir):
     """PII-style span redaction over the raw log line: per-pattern match
     counts plus md5 of the masked text. Pure narrow map — fuses into the
@@ -1321,6 +1374,7 @@ SELECT username, event_id, epoch_us FROM (
     "url_canonical": _url_canonical_oracle(),
     "token_histogram": _token_histogram_oracle(),
     "rarity": _rarity_oracle(),
+    "lm_score": _lm_score_oracle(),
     "redact": _redact_oracle(),
     "shards": _shards_oracle(),
 }
@@ -1355,6 +1409,7 @@ PIPELINE_QUERIES = {
     "url_canonical": q_url_canonical,
     "token_histogram": q_token_histogram,
     "rarity": q_rarity,
+    "lm_score": q_lm_score,
     "redact": q_redact,
     "shards": q_shards,
 }
