@@ -101,6 +101,11 @@ class LogPipelineAPI:
         the plan: a cached DataFrame would re-execute per read.
         """
         meth, takes_filter = self._CACHEABLE[endpoint]
+        if flt is not None and not takes_filter:
+            # silently dropping the filter would cache an UNFILTERED
+            # result under a filtered key — the caller believes the
+            # rows honor the filter. Refuse instead.
+            raise ValueError(f"endpoint {endpoint!r} does not take a filter")
         from dataclasses import astuple
 
         key = (
@@ -124,7 +129,11 @@ class LogPipelineAPI:
         load commits (the summary-table tier already recomputes per
         load — plans/pipeline.run_aggregates). The reference calls the
         eviction from the loader (LogFileParser.java:714-719); here the
-        load orchestration calls this. Returns entries dropped."""
+        load path does too, without needing this handle — run_pipeline
+        / run_aggregates call ``cache.invalidate_registered()``, which
+        reaches every live cache including this one. This method stays
+        for hosts that drive eviction explicitly. Returns entries
+        dropped."""
         return self.cache.invalidate_all()
 
     def sweep_cache(self) -> int:

@@ -29,10 +29,25 @@ from __future__ import annotations
 
 import threading
 import time
+import weakref
 from collections import OrderedDict
 
 DEFAULT_TTL_SEC = 30 * 60  # unfiltered defaults (FilterCacheService.java:46)
 FILTERED_TTL_SEC = 5 * 60  # filtered results (FilterCacheService.java:45)
+
+# Every live cache, so the LOAD path can evict without holding an API
+# handle (C4 end-to-end: the reference's loader calls the eviction
+# itself, LogFileParser.java:714-719 — here plans/pipeline calls
+# ``invalidate_registered`` after a chunk commits / summaries
+# republish). Weak refs: registration must not keep a dropped facade's
+# cache alive.
+_LIVE: "weakref.WeakSet[TTLResultCache]" = weakref.WeakSet()
+
+
+def invalidate_registered() -> int:
+    """C4 from the load side: evict every entry of every live cache.
+    Returns total entries dropped."""
+    return sum(c.invalidate_all() for c in list(_LIVE))
 
 
 class TTLResultCache:
@@ -62,6 +77,7 @@ class TTLResultCache:
         self._data: OrderedDict = OrderedDict()
         self.hits = 0
         self.misses = 0
+        _LIVE.add(self)
 
     def get(self, key):
         """The cached value, or None if absent/expired (an expired

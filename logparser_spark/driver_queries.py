@@ -144,6 +144,10 @@ def q_sink_totals(spark, sf_dir):
     from logparser_spark.sources.compact import compact_sinks
     from logparser_spark.sources.sinks import MultiSinkWriter, read_sink
 
+    # cleanup is deliberately START-of-run, not post-aggregate: the
+    # returned DataFrame reads the compacted sink LAZILY, so the files
+    # must survive until the driver materializes it — the per-sf_dir
+    # path caps residue at one sink tree per fixture between runs
     out_root = f"/tmp/driver_sink_totals_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     shutil.rmtree(out_root, ignore_errors=True)
     routed = routed_events(spark, sf_dir).withColumn(

@@ -78,6 +78,10 @@ def _pick_time_bucket(
     )
     if probe is None or probe["hot"] is None or probe["hot"] <= rows_per_task:
         return None
+    if probe["t_hi"] is None or probe["t_lo"] is None:
+        # a hot key whose time values are all NULL carries no windowing
+        # cost (NULL-time rows order degenerately) — single-window plan
+        return None
     span = max(1, int(probe["t_hi"]) - int(probe["t_lo"]) + 1)
     return max(1, span * rows_per_task // int(probe["hot"]))
 

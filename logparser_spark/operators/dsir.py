@@ -168,6 +168,12 @@ def _score_with(
     else:
         get_lam = lambda: lam_vec  # noqa: E731 — plain closure capture
 
+    # int mode: the per-bucket guard in dsir_ratio_int bounds one
+    # weight, not a document's SUM of weights — int64 would wrap
+    # silently on a long doc hitting heavy buckets, mis-ranking it
+    # with no error. Bound the worst case per doc in the kernel.
+    lam_max = int(lam_vec.max(initial=0)) if acc_dtype is np.int64 else 0
+
     def score(batches):
         lam = get_lam()
         for pdf in batches:
@@ -179,6 +185,11 @@ def _score_with(
                     continue
                 ids = _bucket_ids(np.asarray(x, dtype=np.int64), buckets)
                 n_feat[i] = len(ids)
+                if acc_dtype is np.int64 and len(ids) * lam_max >= (1 << 63):
+                    raise ValueError(
+                        f"dsir int score overflow risk: {len(ids)} features "
+                        f"x lam_max {lam_max} >= 2^63; lower the ratio scale"
+                    )
                 w[i] = lam[ids].sum()
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "n_feat": n_feat, out_col: w}

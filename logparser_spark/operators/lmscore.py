@@ -238,13 +238,20 @@ def lm_score_join(
     tb = transitions(train).groupBy("prev", "tok").agg(F.count("*").alias("cbg"))
     tb = track_persist(tb)
     tu = tb.groupBy("prev").agg(F.sum("cbg").alias("cu"))
-    v = (
+    stats = (
         train.select(F.explode(tokens_col).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
-        .first()["v"]
+        .crossJoin(tb.agg(F.max("cbg").alias("max_cbg")))
+        .first()
     )
+    v = stats["v"]
     if not v:
         raise ValueError("lm_score_join: train slice has no tokens")
+    # same int64 contract the kernel path enforces: Spark's non-ANSI
+    # long multiply would wrap silently, diverging from the kernel
+    # exactly when this unbounded-model path is the one in use
+    if scale * ((stats["max_cbg"] or 0) + 1) >= 2**63:
+        raise ValueError("lm_score_join: scale * max bigram count overflows int64")
 
     per = (
         transitions(df, id_col)

@@ -248,6 +248,11 @@ def _run_pipeline_inner(
                 "compact_after=True but the writer exposes neither "
                 "compact() nor the parquet sink layout (data_dir)"
             )
+    # C4 from the loader, like the reference (LogFileParser.java:
+    # 714-719): data changed, so every live response cache is stale
+    from logparser_spark.cache import invalidate_registered
+
+    invalidate_registered()
     return out
 
 
@@ -320,4 +325,8 @@ def run_aggregates(spark: SparkSession, out_root: str) -> dict[str, DataFrame]:
     # truth; this keeps older readers working)
     with open(os.path.join(out_root, "summary", "_k.json"), "w") as fh:
         json.dump(ks, fh)
+    # C4: summaries republished — evict live response caches
+    from logparser_spark.cache import invalidate_registered
+
+    invalidate_registered()
     return results

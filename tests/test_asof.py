@@ -334,3 +334,19 @@ def test_asof_auto_rejects_bad_string(spark):
     right = spark.createDataFrame([(1, 1, 5)], "k long, t long, snap long")
     with pytest.raises(ValueError, match="auto"):
         asof_join(df, right, ["k"], "t", ["snap"], time_bucket="daily")
+
+
+def test_asof_auto_null_times_degrade_to_single_window(spark):
+    """A hot key whose time values are all NULL must pick the
+    single-window plan, not crash on int(None) in the skew probe."""
+    left = spark.createDataFrame(
+        [(i, 1, None) for i in range(20)], "event_id long, k long, t long"
+    )
+    right = spark.createDataFrame([(1, 5, 99)], "k long, t long, snap long")
+    base = asof_join(left, right, ["k"], "t", ["snap"]).collect()
+    auto = asof_join(
+        left, right, ["k"], "t", ["snap"],
+        time_bucket="auto", auto_rows_per_task=2,
+    ).collect()
+    key = lambda rows: sorted((r["event_id"], r["snap"]) for r in rows)  # noqa: E731
+    assert key(auto) == key(base)

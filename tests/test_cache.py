@@ -129,3 +129,49 @@ def test_api_collect_cached_and_invalidation(spark, tmp_path, monkeypatch):
     api.collect_cached("statistics", flt)
     clk.t = 301
     assert api.sweep_cache() == 1
+
+
+def test_invalidate_registered_reaches_live_caches(clocked):
+    """C4 from the load side: plans/pipeline calls
+    cache.invalidate_registered() after a chunk commits / summaries
+    republish — every live cache is evicted without the load path
+    holding an API handle; dropped caches fall out of the registry."""
+    from logparser_spark import cache as cache_mod
+
+    a = TTLResultCache(clock=FakeClock())
+    b = TTLResultCache(clock=FakeClock())
+    a.put("k", [1])
+    b.put("k", [2])
+    b.put("k2", [3], filtered=True)
+    assert cache_mod.invalidate_registered() >= 3  # clocked fixture may add one
+    assert len(a) == 0 and len(b) == 0
+    del b
+    import gc
+
+    gc.collect()
+    a.put("k", [1])
+    assert cache_mod.invalidate_registered() >= 1
+
+
+def test_load_path_invokes_registered_eviction(monkeypatch):
+    """The wiring itself: run_pipeline's commit tail and
+    run_aggregates' publish tail both call invalidate_registered (the
+    reference evicts from the loader, LogFileParser.java:714-719)."""
+    import inspect
+
+    from logparser_spark.plans import pipeline as pipeline_mod
+
+    src = inspect.getsource(pipeline_mod)
+    assert src.count("invalidate_registered()") >= 2
+
+
+def test_collect_cached_rejects_filter_on_unfiltered_endpoint(spark, tmp_path):
+    """statuses/actions take no filter; silently dropping one would
+    cache unfiltered rows under a filtered key — must raise instead."""
+    import pytest as _pytest
+
+    from logparser_spark import api as api_mod
+
+    api = api_mod.LogPipelineAPI(spark, str(tmp_path), cache=TTLResultCache())
+    with _pytest.raises(ValueError, match="does not take a filter"):
+        api.collect_cached("statuses", api_mod.LogFilter(username="u7"))

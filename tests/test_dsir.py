@@ -216,3 +216,19 @@ def test_score_small_vector_uses_closure_not_broadcast(spark):
     assert len(util._TRACKED_BC) == before + 1  # broadcast path: tracked
     assert util.release_persisted() >= 1
     assert len(util._TRACKED_BC) == 0
+
+
+def test_int_score_kernel_overflow_guard(spark):
+    """The per-bucket guard bounds one weight; a long doc summing many
+    huge weights must raise in the kernel, not wrap int64 silently."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logparser_spark.operators import dsir as dsir_mod
+
+    df = spark.createDataFrame(
+        [(1, list(range(40)))], "doc_id long, tokens array<int>"
+    )
+    lam = np.full(dsir_mod.DSIR_BUCKETS, np.int64(1) << 58, dtype=np.int64)
+    with _pytest.raises(Exception, match="overflow"):
+        dsir_mod.dsir_score(df, lam).collect()

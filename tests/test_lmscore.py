@@ -136,3 +136,8 @@ def test_overflow_guard(spark, corpus_df, train_df):
     model = lmscore.bigram_model(train_df)
     with pytest.raises(ValueError):
         lmscore.lm_score(corpus_df, model=model, scale=2**62)
+
+
+def test_join_plan_overflow_guard(spark, corpus_df, train_df):
+    with pytest.raises(ValueError, match="overflow"):
+        lmscore.lm_score_join(corpus_df, train_df, scale=2**62).collect()
