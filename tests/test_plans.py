@@ -163,3 +163,29 @@ def test_media_profile_single_payload_pass(spark):
     plan = plan_of(mm.media_profile(mm.attach_payload(docs)))
     assert "Join" not in plan, plan
     assert plan.count("ArrowEvalPython") <= 1  # no second kernel pass
+
+
+def test_lm_score_scoring_pass_zero_shuffle(spark):
+    """The model travels as a broadcast; the scoring stage itself must
+    be a pure map — no Exchange, no Join in the scored plan."""
+    from logparser_spark.operators import lmscore
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [2, 3, 1])], "doc_id long, tokens array<int>"
+    )
+    model = lmscore.bigram_model(df)
+    plan = plan_of(lmscore.lm_score(df, model=model))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_bpe_merge_kernel_zero_shuffle(spark):
+    """Each BPE iteration's merge step must move no data: applying a
+    learned rule table is map-only (train counted on a sample; encode
+    runs at corpus scale)."""
+    from logparser_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 1, 2]), (2, [2, 1, 2, 1])], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(bpe.bpe_apply(df, [(1, 2, 9, 3)]))
+    assert "Exchange" not in plan and "Join" not in plan, plan
