@@ -158,3 +158,35 @@ def test_sliding_chunks_match_naive(rows, max_len, overlap):
         assert list(zip(o.tolist(), l.tolist(), s.tolist())) == naive_chunks(
             row, max_len, stride
         ), (row, max_len, stride)
+
+
+# -- BPE greedy single-pair merge (operators/bpe.py) -------------------
+
+
+@given(
+    seq=st.lists(st.integers(0, 4), max_size=40),
+    pair=st.tuples(st.integers(0, 4), st.integers(0, 4)),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_matches_greedy_oracle(seq, pair):
+    """merge_pair_batch vs a character-at-a-time greedy scan — the
+    overlap rule (aaa + (a,a) -> <new>a) is exactly where vectorized
+    position arithmetic goes wrong, which random inputs surface."""
+    from logparser_spark.operators.bpe import merge_pair_batch
+
+    left, right = pair
+    new_id = 99
+
+    def oracle(s):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                out.append(new_id)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    got = merge_pair_batch(np.asarray(seq, dtype=np.int64), left, right, new_id)
+    assert got.tolist() == oracle(seq)
