@@ -29,7 +29,10 @@ def q_dedup_exact(spark, sf_dir):
       an existing corpus (anti-join on content signatures; at scale the
       corpus signature table is bucketed by hash so a daily delta joins
       with zero corpus-side shuffle) — the surviving batch rows as
-      (key=lang|source, id=doc_id, n=1).
+      (key=lang|source, id=doc_id, n=1);
+    - ``kind='soft'``: soft dedup — per-doc integer sampling weight
+      ``10^6 // dup_count`` (down-weighting instead of dropping) as
+      (key=text_hash, id=doc_id, n=weight_fp).
     """
     docs = documents(spark, sf_dir)
     exact = dedup.exact_dedup(docs).select(
@@ -37,6 +40,12 @@ def q_dedup_exact(spark, sf_dir):
         F.col("text_hash").alias("key"),
         F.col("keeper_doc_id").cast("long").alias("id"),
         F.col("dup_count").cast("long").alias("n"),
+    )
+    soft = dedup.soft_dedup_weights(docs).select(
+        F.lit("soft").alias("kind"),
+        F.col("text_hash").alias("key"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("weight_fp").cast("long").alias("n"),
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     corpus = docs.where(bucket < _CORPUS_THR)
@@ -47,7 +56,7 @@ def q_dedup_exact(spark, sf_dir):
         F.col("doc_id").cast("long").alias("id"),
         F.lit(1).cast("long").alias("n"),
     )
-    return exact.unionByName(incr)
+    return exact.unionByName(incr).unionByName(soft)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -530,7 +539,11 @@ FROM documents GROUP BY 2
 UNION ALL
 SELECT 'incr', n.lang || '|' || n.source, CAST(n.doc_id AS BIGINT), CAST(1 AS BIGINT)
 FROM b n WHERE NOT (n.h < '{_CORPUS_THR}')
-  AND NOT EXISTS (SELECT 1 FROM b c WHERE c.h < '{_CORPUS_THR}' AND c.text = n.text)""",
+  AND NOT EXISTS (SELECT 1 FROM b c WHERE c.h < '{_CORPUS_THR}' AND c.text = n.text)
+UNION ALL
+SELECT 'soft', md5(text), CAST(doc_id AS BIGINT),
+       CAST(1000000 // (COUNT(*) OVER (PARTITION BY md5(text))) AS BIGINT)
+FROM documents""",
     # keeper row per content hash, arg-min by doc_id (single-batch
     # availableNow drain == batch semantics; see q_stream_dedup)
     "stream_dedup": """

@@ -48,6 +48,37 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def soft_dedup_weights(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Soft deduplication: DOWN-WEIGHT duplicates instead of dropping
+    them — each doc gets sampling weight ``scale // dup_count`` of its
+    exact-content group, so a page duplicated a million times
+    contributes ~once in expectation while unique text keeps full
+    weight (the standard reweighting alternative to hard removal when
+    duplicates still carry marginal signal). Integer floor division:
+    cross-engine exact, so the driver branch is oracle-checkable.
+
+    Output: (doc_id, text_hash, dup_count, weight_fp).
+
+    Scale plan: the group count comes from ``exact_dedup``'s
+    map-side-combining groupBy (never a count-over-window, whose
+    billion-duplicate group would funnel one partition) joined back on
+    the uniform md5 key — two skew-safe shuffles, no payload movement
+    (only doc_id + hash travel)."""
+    counts = docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(counts, "text_hash")
+        .select(
+            "doc_id",
+            "text_hash",
+            "dup_count",
+            F.expr(f"{int(scale)} div dup_count").alias("weight_fp"),
+        )
+    )
+
+
 def _exact_jaccard_pairs(
     docs: DataFrame, threshold: float, cand: DataFrame | None
 ) -> DataFrame:

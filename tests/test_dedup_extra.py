@@ -321,3 +321,19 @@ def test_near_dup_clusters_raises_when_unconverged(spark):
         dedup.near_dup_clusters(docs, pairs=chain, max_iters=2)
     out = dedup.near_dup_clusters(docs, pairs=chain, max_iters=10).collect()
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_soft_dedup_weights_match_python_model(spark):
+    from logparser_spark.operators import dedup as dedup_mod
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c"), (6, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_count"], r["weight_fp"])
+        for r in dedup_mod.soft_dedup_weights(df).collect()
+    }
+    from collections import Counter
+
+    c = Counter(t for _, t in rows)
+    want = {i: (c[t], 1_000_000 // c[t]) for i, t in rows}
+    assert got == want
