@@ -947,6 +947,58 @@ def q_lm_score(spark, sf_dir):
     return lmscore.lm_score(toks, train, scale=_LM_SCALE)
 
 
+_BPE_MERGES = 24
+_BPE_NEW_ID_START = 1 << 20  # far above the byte-ish token domain
+
+
+def q_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training + full-corpus encode
+    (operators/bpe.py, Sennrich et al. 2016, arXiv:1508.07909) as ONE
+    driver row: the learned merge-rule table (kind='rule': ordinal,
+    left, right, new_id, count) unioned with per-doc encode witnesses
+    (kind='doc': piece count, piece sum, last piece, md5 of the full
+    piece sequence) from applying that table to the whole corpus.
+    Training runs on the ``doc_id % 5 == 0`` slice — the
+    train-on-a-sample / encode-everything split that holds at 100 TB
+    because ``bpe_apply`` is a zero-shuffle pure map.
+
+    The merge loop is inherently iterative (rule i+1 consumes rule i's
+    output ids), so there is no DuckDB oracle; the row is golden-pinned
+    at three scales and the trainer is differentially pytest-pinned
+    against an independent pure-python BPE model (tests/test_bpe.py)."""
+    from logparser_spark.operators import bpe
+
+    toks = tokenized_events(spark, sf_dir)
+    train = toks.where(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    merges, _ = bpe.bpe_train(
+        train, n_merges=_BPE_MERGES, new_id_start=_BPE_NEW_ID_START
+    )
+    rules = spark.createDataFrame(
+        [(i, le, r, n, c) for i, (le, r, n, c) in enumerate(merges)],
+        "id long, a long, b long, n long, cnt long",
+    ).select(
+        F.lit("rule").alias("kind"),
+        "id",
+        "a",
+        "b",
+        "n",
+        F.col("cnt").cast("string").alias("h"),
+    )
+    docs = bpe.bpe_apply(toks, merges).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.size("tokens").cast("long").alias("a"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda acc, t: acc + t
+        ).alias("b"),
+        F.try_element_at("tokens", F.lit(-1)).cast("long").alias("n"),
+        F.md5(
+            F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+        ).alias("h"),
+    )
+    return rules.unionByName(docs)
+
+
 def _lm_score_oracle() -> str:
     return (
         _token_lines_cte()
@@ -1414,6 +1466,7 @@ PIPELINE_QUERIES = {
     "token_histogram": q_token_histogram,
     "rarity": q_rarity,
     "lm_score": q_lm_score,
+    "bpe": q_bpe,
     "redact": q_redact,
     "shards": q_shards,
 }

@@ -129,8 +129,18 @@ def bpe_train(
     corpus vocabulary is known (e.g. 256 for byte-level).
 
     Per iteration: one domain-bounded pair-count shuffle + one
-    zero-shuffle merge map; the working set stays one persisted
-    generation (previous generation released each step).
+    zero-shuffle merge map. Each generation is ``localCheckpoint``ed
+    (eager), NOT merely persisted: persist keeps the full logical
+    lineage, and re-analyzing a plan that deepens by one mapInPandas
+    node per merge turns out to be exponential in depth in Catalyst
+    (measured: per-iteration wall time doubles from ~12 merges, driver
+    heap OOM by ~18). Checkpointing truncates the plan so every
+    iteration costs the same regardless of how many merges preceded it
+    — the same constant-size-lineage contract ``near_dup_clusters``
+    uses for its propagation rounds. Old generations' checkpoint
+    blocks are reclaimed by the ContextCleaner once unreferenced;
+    ``train`` is a sample by contract, so at most a few sample-sized
+    generations are ever live at once.
     """
     cur = train.select(id_col, tokens_col)
     if new_id_start is None:
@@ -144,7 +154,6 @@ def bpe_train(
             + 1
         )
     merges: list[tuple[int, int, int, int]] = []
-    prev_persisted = None
     for i in range(n_merges):
         if new_id_start + i >= _MAX_TOKEN:
             raise ValueError("bpe_train: new token ids exceed 2^31 packed-pair bound")
@@ -154,16 +163,13 @@ def bpe_train(
         left, right, count = top
         new_id = new_id_start + i
         merges.append((left, right, new_id, count))
-        cur = track_persist(
-            cur.mapInPandas(
-                _merge_kernel(left, right, new_id, tokens_col, id_col),
-                cur.schema,
-            )
-        )
-        cur.count()  # materialize THIS generation before dropping the last
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = cur
+        # eager=True materializes this generation now AND truncates the
+        # logical plan — constant analysis cost per iteration (see
+        # docstring; plain persist() is exponential past ~12 merges).
+        cur = cur.mapInPandas(
+            _merge_kernel(left, right, new_id, tokens_col, id_col),
+            cur.schema,
+        ).localCheckpoint(eager=True)
     return merges, cur
 
 
