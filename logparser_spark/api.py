@@ -108,19 +108,25 @@ class LogPipelineAPI:
             raise ValueError(f"endpoint {endpoint!r} does not take a filter")
         from dataclasses import astuple
 
+        # self.root is part of the key: the cache= seam invites sharing
+        # one store across facades, and two facades over different sink
+        # roots must never serve each other's rows.
         key = (
+            self.root,
             endpoint,
             astuple(flt) if flt is not None else None,
             tuple(sorted(params.items())),
         )
         hit = self.cache.get(key)
         if hit is not None:
-            return hit
+            return list(hit)
         fn = getattr(self, meth)
         df = fn(flt, **params) if takes_filter else fn(**params)
         rows = df.collect()
         self.cache.put(
-            key, rows, filtered=flt is not None and not flt.is_empty()
+            key,
+            tuple(rows),  # immutable: caller mutation can't poison hits
+            filtered=flt is not None and not flt.is_empty(),
         )
         return rows
 

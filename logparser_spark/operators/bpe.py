@@ -16,10 +16,11 @@ the Spark shape implemented here:
   greedily left-to-right (standard BPE semantics, overlap-safe:
   ``aaa`` under pair ``(a,a)`` merges once) — token payloads never
   shuffle, in any iteration.
-- plan hygiene: each iteration's output is persisted and the previous
-  generation released (``track_persist`` + explicit unpersist), so
-  the lineage stays one generation deep instead of stacking N
-  mapInPandas stages into one exponential plan.
+- plan hygiene: each iteration's output is eagerly
+  ``localCheckpoint``ed, truncating the logical plan to one generation
+  — stacking N mapInPandas stages into a single lineage makes Catalyst
+  re-analysis exponential in N (see ``bpe_train``); checkpoint blocks
+  of dropped generations are reclaimed by Spark's ContextCleaner.
 
 Practical-scale notes, mirrored from how real tokenizers are trained:
 pass a SAMPLE as ``train`` (pair statistics converge long before the
@@ -42,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logparser_spark.operators.lmscore import _MAX_TOKEN, _bigram_partials
-from logparser_spark.operators.util import track_persist
 
 __all__ = ["bpe_train", "bpe_apply", "merge_pair_batch"]
 

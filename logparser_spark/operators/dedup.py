@@ -63,16 +63,25 @@ def soft_dedup_weights(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     map-side-combining groupBy (never a count-over-window, whose
     billion-duplicate group would funnel one partition) joined back on
     the uniform md5 key — two skew-safe shuffles, no payload movement
-    (only doc_id + hash travel)."""
-    counts = docs.groupBy(F.md5("text").alias("text_hash")).agg(
+    (only doc_id + hash travel). NULL texts form one group (md5(NULL)
+    is NULL; groupBy and the null-safe join both treat it as a key),
+    matching exact_dedup and SQL's PARTITION BY semantics — a plain
+    equi-join would silently hard-drop every NULL-text doc from an
+    operator whose whole contract is down-weighting instead of
+    dropping."""
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    counts = hashed.groupBy("text_hash").agg(
         F.count(F.lit(1)).alias("dup_count")
     )
     return (
-        docs.select("doc_id", F.md5("text").alias("text_hash"))
-        .join(counts, "text_hash")
+        hashed.alias("d")
+        .join(
+            counts.alias("c"),
+            F.col("d.text_hash").eqNullSafe(F.col("c.text_hash")),
+        )
         .select(
-            "doc_id",
-            "text_hash",
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("d.text_hash").alias("text_hash"),
             "dup_count",
             F.expr(f"{int(scale)} div dup_count").alias("weight_fp"),
         )

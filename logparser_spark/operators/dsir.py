@@ -125,7 +125,11 @@ def dsir_score(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
 ) -> DataFrame:
-    """Per-document importance weight: (doc_id, n_feat, dsir_logw).
+    """Per-document importance weight: ``(doc_id, n_feat, dsir_logw)``
+    for a float ``log_ratio`` vector; an INTEGER vector (the
+    fixed-point cross-engine-exact mode the driver oracle uses) yields
+    a long column named ``dsir_w`` instead — the name change keeps a
+    float plan from silently consuming integer weights or vice versa.
 
     ``log_ratio`` (a B-vector) ships to executors inside the task
     closure — at the default B=10k that is 80 KB per task binary, far

@@ -90,6 +90,15 @@ def _bigram_partials(tokens_col: str):
                 if x is None or len(x) < 2:
                     continue
                 a = np.asarray(x, dtype=np.int64)
+                # the packed-pair code is (left << 32) | right: ids
+                # outside [0, 2^31) smear across the halves and count
+                # pairs that never existed — fail loudly, not silently
+                # (bigram_model re-checks via the histogram, but
+                # bpe_train's count step has only this guard)
+                if int(a.min()) < 0 or int(a.max()) >= _MAX_TOKEN:
+                    raise ValueError(
+                        "token ids must be in [0, 2^31) for packed-pair counting"
+                    )
                 codes.append((a[:-1] << 32) | a[1:])
             if not codes:
                 continue
@@ -138,6 +147,34 @@ def _lookup(sorted_keys: np.ndarray, sorted_vals: np.ndarray, keys: np.ndarray) 
     return np.where(sorted_keys[idx] == keys, sorted_vals[idx], 0)
 
 
+def _transition_counts(model, toks, n):
+    """Shared per-batch segment kernel for the fixed-point and
+    perplexity scorers: per-doc transition counts ``n_big``, the
+    looked-up per-transition bigram/left-context train counts
+    (``cbg``, ``cu``), reduceat ``offs`` and the nonzero mask ``nz``.
+    ``cbg`` is None when the batch has no transitions. Lives once so a
+    fix to the filter/concatenate/reduceat mechanics cannot drift
+    between the two scoring paths."""
+    big_codes, big_counts, prev_ids, prev_counts, v = model
+    n_big = np.fromiter(
+        (0 if x is None or len(x) < 2 else len(x) - 1 for x in toks),
+        dtype=np.int64,
+        count=n,
+    )
+    if not n_big.sum():
+        return n_big, None, None, None, None, v
+    arrs = [
+        np.asarray(x, dtype=np.int64) for x in toks if x is not None and len(x) >= 2
+    ]
+    prev = np.concatenate([a[:-1] for a in arrs])
+    codes = (prev << 32) | np.concatenate([a[1:] for a in arrs])
+    cbg = _lookup(big_codes, big_counts, codes)
+    cu = _lookup(prev_ids, prev_counts, prev)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_big, out=offs[1:])
+    return n_big, cbg, cu, offs, n_big > 0, v
+
+
 def lm_score(
     df: DataFrame,
     train: DataFrame | None = None,
@@ -169,34 +206,18 @@ def lm_score(
     track_broadcast(bc)  # released by the session's next release_persisted()
 
     def score(batches):
-        big_codes, big_counts, prev_ids, prev_counts, v = bc.value
         for pdf in batches:
             n = len(pdf)
-            toks = pdf[tokens_col]
-            n_big = np.fromiter(
-                (0 if x is None or len(x) < 2 else len(x) - 1 for x in toks),
-                dtype=np.int64,
-                count=n,
+            n_big, cbg, cu, offs, nz, v = _transition_counts(
+                bc.value, pdf[tokens_col], n
             )
             out = {
                 "__id": pdf[id_col],
                 "n_big": n_big,
                 "lm_sum": np.zeros(n, dtype=np.int64),
             }
-            if n_big.sum():
-                arrs = [
-                    np.asarray(x, dtype=np.int64)
-                    for x in toks
-                    if x is not None and len(x) >= 2
-                ]
-                prev = np.concatenate([a[:-1] for a in arrs])
-                codes = (prev << 32) | np.concatenate([a[1:] for a in arrs])
-                cbg = _lookup(big_codes, big_counts, codes)
-                cu = _lookup(prev_ids, prev_counts, prev)
+            if cbg is not None:
                 w = (scale * (cbg + 1)) // (cu + v)
-                offs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(n_big, out=offs[1:])
-                nz = n_big > 0
                 out["lm_sum"][nz] = np.add.reduceat(w, offs[:-1][nz])
             res = pd.DataFrame(out)
             res["lm_mean"] = np.where(n_big > 0, out["lm_sum"] // np.maximum(n_big, 1), 0)
@@ -299,30 +320,14 @@ def lm_perplexity(
     track_broadcast(bc)  # released by the session's next release_persisted()
 
     def score(batches):
-        big_codes, big_counts, prev_ids, prev_counts, v = bc.value
         for pdf in batches:
             n = len(pdf)
-            toks = pdf[tokens_col]
-            n_big = np.fromiter(
-                (0 if x is None or len(x) < 2 else len(x) - 1 for x in toks),
-                dtype=np.int64,
-                count=n,
+            n_big, cbg, cu, offs, nz, v = _transition_counts(
+                bc.value, pdf[tokens_col], n
             )
             ppl = np.full(n, np.nan)
-            if n_big.sum():
-                arrs = [
-                    np.asarray(x, dtype=np.int64)
-                    for x in toks
-                    if x is not None and len(x) >= 2
-                ]
-                prev = np.concatenate([a[:-1] for a in arrs])
-                codes = (prev << 32) | np.concatenate([a[1:] for a in arrs])
-                cbg = _lookup(big_codes, big_counts, codes)
-                cu = _lookup(prev_ids, prev_counts, prev)
+            if cbg is not None:
                 nll = -np.log((cbg + 1.0) / (cu + float(v)))
-                offs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(n_big, out=offs[1:])
-                nz = n_big > 0
                 sums = np.add.reduceat(nll, offs[:-1][nz])
                 ppl[nz] = np.exp(sums / n_big[nz])
             yield pd.DataFrame({id_col: pdf[id_col], "n_big": n_big, "ppl": ppl})

@@ -175,3 +175,44 @@ def test_collect_cached_rejects_filter_on_unfiltered_endpoint(spark, tmp_path):
     api = api_mod.LogPipelineAPI(spark, str(tmp_path), cache=TTLResultCache())
     with _pytest.raises(ValueError, match="does not take a filter"):
         api.collect_cached("statuses", api_mod.LogFilter(username="u7"))
+
+
+def test_shared_cache_keyed_by_sink_root(spark, tmp_path, monkeypatch):
+    """Two facades sharing one injected cache (the cache= seam) must
+    never serve each other's rows — the sink root is part of the key."""
+    from logparser_spark import api as api_mod
+
+    cache = TTLResultCache(clock=FakeClock())
+    a = api_mod.LogPipelineAPI(spark, str(tmp_path / "prod"), cache=cache)
+    b = api_mod.LogPipelineAPI(spark, str(tmp_path / "staging"), cache=cache)
+    for facade, tag in ((a, "prod"), (b, "staging")):
+        monkeypatch.setattr(
+            facade,
+            "get_statistics",
+            lambda flt=None, t=tag: spark.createDataFrame(
+                [(t, 1)], "category string, row_count long"
+            ),
+        )
+    ra = a.collect_cached("statistics")
+    rb = b.collect_cached("statistics")
+    assert ra[0]["category"] == "prod" and rb[0]["category"] == "staging"
+
+
+def test_collect_cached_hits_immune_to_caller_mutation(spark, tmp_path, monkeypatch):
+    """A caller sorting/appending to the returned list must not poison
+    later cache hits (the stored value is immutable; hits are copies)."""
+    from logparser_spark import api as api_mod
+
+    api = api_mod.LogPipelineAPI(spark, str(tmp_path), cache=TTLResultCache(clock=FakeClock()))
+    monkeypatch.setattr(
+        api,
+        "get_statistics",
+        lambda flt=None: spark.createDataFrame(
+            [("success", 1), ("error", 2)], "category string, row_count long"
+        ),
+    )
+    r1 = api.collect_cached("statistics")
+    r1.append("garbage")
+    r1.reverse()
+    r2 = api.collect_cached("statistics")
+    assert [r["category"] for r in r2] == ["success", "error"]

@@ -337,3 +337,21 @@ def test_soft_dedup_weights_match_python_model(spark):
     c = Counter(t for _, t in rows)
     want = {i: (c[t], 1_000_000 // c[t]) for i, t in rows}
     assert got == want
+
+
+def test_soft_dedup_weights_null_text_group(spark):
+    """NULL texts are one group, down-weighted — never dropped (the
+    join back onto md5(text) must be null-safe; a plain equi-join
+    silently loses every NULL-text doc)."""
+    from logparser_spark.operators import dedup as dedup_mod
+
+    rows = [(1, None), (2, None), (3, None), (4, "a"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_hash"], r["dup_count"], r["weight_fp"])
+        for r in dedup_mod.soft_dedup_weights(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in (1, 2, 3, 5):
+        assert got[i] == (None, 4, 1_000_000 // 4)
+    assert got[4][1:] == (1, 1_000_000)
