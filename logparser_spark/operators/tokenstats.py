@@ -804,3 +804,43 @@ def hist_quantiles(
     return packed.select(
         *group_cols, F.explode(pairs).alias("p")
     ).select(*group_cols, F.col("p.q_num").alias("q_num"), F.col("p.q_x1000").alias("q_x1000"))
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q_nums: tuple[int, ...] = (500, 900, 990),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The unbounded-domain companion to ``hist_quantiles``: Spark's
+    built-in ``percentile_approx`` (Greenwald-Khanna sketch — JVM-side,
+    mergeable map-side partials, memory O(accuracy) per group no matter
+    how many rows OR distinct values), emitted in ``hist_quantiles``'
+    output shape ``(group..., q_num, q_x1000)`` so a caller that hits
+    ``DomainTooLargeError`` on a continuous measurement column swaps one
+    call for the other.
+
+    Semantics differ where a sketch must: the result is a MEMBER of the
+    input (rank error <= 1/accuracy of n), not the linear interpolation
+    the exact op computes, so ``q_x1000`` is ``1000 * member`` — same
+    fixed-point unit, no fractional part. The exact op stays the
+    driver-checked default (cross-engine bit-exact); this is the escape
+    hatch its guard message points at, for domains where a per-group
+    histogram is unbounded (raw timestamps, float measurements).
+    """
+    qn = list(q_nums)
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(q / 1000.0) for q in qn]), F.lit(int(accuracy))
+        ).alias("qv")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q).cast("long") for q in qn]).alias("q_num"),
+        F.transform("qv", lambda v: v.cast("long") * F.lit(1000).cast("long")).alias(
+            "q_x1000"
+        ),
+    )
+    return agg.select(*group_cols, F.explode(pairs).alias("p")).select(
+        *group_cols, F.col("p.q_num").alias("q_num"), F.col("p.q_x1000").alias("q_x1000")
+    )

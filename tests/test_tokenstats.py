@@ -252,6 +252,41 @@ def test_hist_quantiles_domain_guard(spark):
     assert sorted(map(tuple, ok2.collect())) == sorted(map(tuple, ok.collect()))
 
 
+def test_approx_quantiles_rank_bound_and_shape(spark):
+    """The sketch companion honors its contract: same output shape as
+    hist_quantiles, every returned value is a MEMBER of the input whose
+    rank is within the GK bound (q/1000 +- 1/accuracy, +-1 index slack
+    for boundary ties) of the target — this is what lets a caller swap
+    it in for a DomainTooLargeError domain at 10^12 rows."""
+    from logparser_spark.operators.tokenstats import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = [("a", int(v)) for v in rng.integers(0, 10**9, size=2000)] + [
+        ("b", int(v)) for v in rng.integers(-50, 50, size=333)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    accuracy = 10_000
+    out = approx_quantiles(df, "v", ["g"], accuracy=accuracy).collect()
+    assert set(out[0].asDict().keys()) == {"g", "q_num", "q_x1000"}
+    assert sorted(r["q_num"] for r in out if r["g"] == "a") == [500, 900, 990]
+    by_group = {"a": sorted(v for g, v in rows if g == "a"),
+                "b": sorted(v for g, v in rows if g == "b")}
+    import bisect
+
+    for r in out:
+        vs = by_group[r["g"]]
+        n = len(vs)
+        assert r["q_x1000"] % 1000 == 0  # member * 1000, no interpolation
+        v = r["q_x1000"] // 1000
+        lo_rank = bisect.bisect_left(vs, v)
+        hi_rank = bisect.bisect_right(vs, v) - 1
+        assert lo_rank <= hi_rank, "returned value must be an input member"
+        target = r["q_num"] / 1000 * (n - 1)
+        slack = n / accuracy + 1
+        assert lo_rank - slack <= target <= hi_rank + slack, (
+            r, target, lo_rank, hi_rank)
+
+
 def test_null_tokens_treated_as_empty(spark):
     """A NULL tokens array must behave exactly like an empty one
     (n_tok/n_kept 0, never NULL) so the operator family agrees on the
