@@ -580,9 +580,24 @@ is flat in dataset size (no accumulating state, no driver collects, file
 counts bounded by maxRecordsPerFile). Regenerate: `python bench.py --big-run`.
 """
     existing = open(md_path).read() if os.path.exists(md_path) else ""
-    base = existing.split(_APPENDIX_MARKER)[0].rstrip() + "\n\n"
+    parts = existing.split(_APPENDIX_MARKER)
+    base = parts[0].rstrip() + "\n\n"
+    # rewrite ONLY this run's own appendix section: any sibling `## `
+    # sections after the scale-holding block (e.g. operator-level
+    # evidence) are preserved verbatim
+    kept = ""
+    if len(parts) > 1:
+        import re as _re
+
+        siblings = [
+            sec
+            for sec in _re.split(r"(?m)^(?=## )", parts[1])
+            if sec.startswith("## ") and not sec.startswith("## Scale-holding check")
+        ]
+        if siblings:
+            kept = "\n" + "".join(siblings).rstrip() + "\n"
     with open(md_path, "w") as f:
-        f.write(base + section)
+        f.write(base + section + kept)
     return rec
 
 
