@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "url_canonical",
     "bpe",
     "shards",
+    "leakage_split",
+    "token_budget",
 ]
 
 
@@ -112,10 +114,11 @@ BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
 # Local steady-state cost of the headline block at local[32]/sf0.1
 # (measured ~85 s at 38 queries, ~95 s at 42, ~100 s at 49; the
 # 24-merge bpe row adds ~14 s since the fused-count trainer —
-# full-block quiet-host measurements 104-115 s).
+# full-block quiet-host measurements 104-115 s; leakage_split re-runs
+# the clustering chain ~+8 s and token_budget ~+1 s).
 # elapsed/expected = the harness contention factor used to scale the
 # pipeline-block estimate.
-_HEADLINE_EXPECTED_SEC = 108.0
+_HEADLINE_EXPECTED_SEC = 117.0
 # Local costs of the pipeline block pieces (measured): 10M-row fixture
 # generation ~110 s (fixtures_cache/ is gitignored, so the driver
 # always regenerates), warmup pass ~35 s, timed trial ~30 s.

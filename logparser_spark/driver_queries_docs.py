@@ -416,6 +416,50 @@ def _mix_sample_oracle() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {where}"
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_TOKEN_BUDGET = 2000  # per lang; every sf's langs exceed it, so the
+# boundary-bucket path is exercised at all three scales
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id
+    (star CC over the verified LSH pair graph) against cumulative
+    weight boundaries, so near-duplicates can never straddle a split.
+    Exactly checkable: the recursive-CTE cluster oracle composed with
+    the SAME engine-portable CASE string (``split_case_sql``)."""
+    return sampling.leakage_safe_split(
+        documents(spark, sf_dir), weights=_SPLIT_WEIGHTS, threshold=0.8
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Quality-prioritized per-lang selection under a token budget via
+    the select-by-threshold plan (token_budget_select: bucket stats +
+    one boundary sort, no full-domain window). score = n_chars (prefer
+    longer docs), tokens = whitespace tokens; the result row set equals
+    a plain window cumsum, which is the oracle."""
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.col("n_chars").alias("score"),
+    )
+    return sampling.token_budget_select(docs, _TOKEN_BUDGET).select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT doc_id, lang, n_tokens FROM t WHERE cum <= {_TOKEN_BUDGET}"""
+
+
 DOC_QUERIES = {
     "stratified_sample": q_stratified,
     "mix_sample": q_mix_sample,
@@ -436,6 +480,8 @@ DOC_QUERIES = {
     "doc_stats": q_doc_stats,
     "ngram_vocab": q_ngram_vocab,
     "ann_brute": q_ann_brute,
+    "leakage_split": q_leakage_split,
+    "token_budget": q_token_budget,
 }
 
 # ---------------------------------------------------------------------
@@ -584,6 +630,37 @@ SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    # the same recursive-CTE component relation, composed with the SAME
+    # engine-portable hash-CASE string the Spark op evaluates
+    # (sampling.split_case_sql) — split assignment is exactly checkable
+    "leakage_split": _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+    + """
+, pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE 1.0 * i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(x, root) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.x
+),
+comp AS (SELECT x AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY x)
+SELECT doc_id, cluster_id, """
+    + sampling.split_case_sql(_SPLIT_WEIGHTS, "cluster_id")
+    + """ AS split
+FROM (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)""",
+    "token_budget": _token_budget_oracle(),
     # top-k n-grams by document frequency; `sh` in the CTE is already
     # the DISTINCT (doc_id, shingle) set, so COUNT(*) = doc freq.
     # Tie-break pinned to (doc_freq DESC, shingle ASC) in both engines.

@@ -189,21 +189,28 @@ def stratified_take(
 _HEX = "0123456789abcdef"
 
 
+def hash16_sql(key_sql: str) -> str:
+    """Engine-portable 16-bit content hash as a SQL expression string:
+    the first FOUR md5 hex chars of ``key_sql`` cast to string, decoded
+    to an integer in [0, 65536) with instr() arithmetic. md5 / cast AS
+    STRING / substr / instr have identical semantics in Spark SQL and
+    DuckDB, so an oracle embedding the SAME string reproduces the exact
+    value (the idiom the green ``shards`` driver row already pins)."""
+    h = f"md5(cast({key_sql} as string))"
+    return "(" + " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + ")"
+
+
 def content_shard_expr(id_col: str, n_shards: int):
     """Deterministic engine-portable shard id in [0, n_shards): the
-    first FOUR md5 hex chars (16 bits) decoded with instr() arithmetic,
-    mod n_shards — instr/substr/% have identical semantics in Spark SQL
-    and DuckDB, so the oracle reproduces the exact assignment. Exactly
+    16-bit content hash (``hash16_sql``) mod n_shards. Exactly
     uniform when n_shards divides 65536 (any power of two <= 256);
     otherwise the mod bias is < n_shards/65536 (< 0.4% relative skew)."""
     if not 1 <= n_shards <= 256:
         raise ValueError("n_shards must be in [1, 256]")
-    h = f"md5(cast({id_col} as string))"
-    v = " + ".join(
-        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    )
-    return F.expr(f"cast(({v}) % {n_shards} as int)")
+    return F.expr(f"cast({hash16_sql(id_col)} % {n_shards} as int)")
 
 
 def shard_assign(
@@ -330,4 +337,188 @@ def dedup_incremental(
         new_df.withColumn("__sig", F.md5(F.col(text_col)))
         .join(corpus_sigs, "__sig", "left_anti")
         .drop("__sig")
+    )
+
+
+def split_case_sql(weights: dict[str, float], key_sql: str) -> str:
+    """Engine-portable CASE expression assigning ``key_sql``'s row to a
+    named split by its 16-bit content hash against cumulative weight
+    boundaries. The LAST split (insertion order) is the CASE's ELSE, so
+    float-rounding residue in the boundaries can never produce an
+    unassigned row. Same string runs in Spark SQL and DuckDB."""
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"split weights must be >= 0, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = list(weights)
+    h = hash16_sql(key_sql)
+    arms, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(round(acc * _HEX_SPACE))
+        arms.append(f"WHEN {h} < {bound} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.8,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle:
+    hash the near-dup CLUSTER id, not the document id, so every member
+    of a duplicate cluster lands in the same split. Splitting by doc
+    hash leaks paraphrased/boilerplate-shifted copies of training
+    documents into the eval split — the contamination vector the
+    GPT-3/Llama decontamination appendices call out — and no post-hoc
+    doc-level decontamination catches what a cluster-level split
+    prevents by construction.
+
+    Output: (doc_id, cluster_id, split). ``weights`` maps split name ->
+    fraction (must sum to 1; default 98/1/1 train/val/test); assignment
+    is the 16-bit content hash of cluster_id against cumulative
+    boundaries (granularity 1/65536), deterministic across runs,
+    engines, partitionings, and retries.
+
+    Pass ``clusters`` (doc_id, cluster_id) to reuse an existing
+    assignment; otherwise ``near_dup_clusters(docs, threshold)`` runs
+    here over (doc_id, text) (star CC — see its scale notes). The split itself adds ZERO
+    shuffles on top of clustering: one narrow CASE projection.
+    Realized fractions converge to ``weights`` only in #clusters (one
+    giant cluster moves the split whole — that is the point).
+
+    Reference parity: none (no corpus-split concept in the reference);
+    §2-extension op per the brief. Oracle: the recursive-CTE cluster
+    oracle + the SAME ``split_case_sql`` string.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    case = split_case_sql(weights, "cluster_id")
+    if clusters is None:
+        from logparser_spark.operators.dedup import near_dup_clusters
+
+        clusters = near_dup_clusters(docs, threshold=threshold)
+    return clusters.select(
+        "doc_id", "cluster_id", F.expr(case).alias("split")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Quality-prioritized selection under a per-domain token budget:
+    within each domain, walk documents in (score DESC NULLS LAST,
+    id ASC) order and keep each doc iff the running token total
+    INCLUDING it stays <= budget — "take the best docs per language
+    until the budget is full", the curation step that turns scored
+    corpora into a fixed-size training mix.
+
+    Output: the selected rows as (doc_id, <domain_col>, <tokens_col>,
+    <score_col>). NULL tokens count 0; tokens must be >= 0 (negative
+    values would break the prefix-monotonicity the plan exploits).
+
+    Scale plan — the naive form is a window cumsum per domain, which
+    funnels every domain through ONE reducer sorting the full domain.
+    Instead, select-by-threshold:
+      1. per-domain score min/max (1 row/domain, AQE-broadcast back);
+      2. quantize score into ``n_buckets`` DESC-ordered buckets (equal
+         scores share a bucket, so bucket order refines score order
+         exactly); aggregate sum(tokens) per (domain, bucket) — map-side
+         combine, stats bounded by domains x buckets;
+      3. running bucket totals (a window over <= n_buckets+1 stat rows
+         per domain) split buckets into kept-whole (cumulative <=
+         budget: every row kept, NO sort — any prefix of a kept-whole
+         region is under budget because tokens are nonnegative),
+         dropped-whole (previous buckets already filled the budget),
+         and ONE boundary bucket per domain;
+      4. only boundary-bucket rows — ~1/n_buckets of the domain when
+         scores spread; the whole domain only when scores are constant,
+         where every plan degenerates to the naive one — pay the exact
+         (score, id) sort + cumsum, offset by the kept-whole total.
+    The result row set is exactly the naive window's, so the DuckDB
+    oracle is a plain SUM() OVER cumsum.
+
+    Reference parity: none; §2-extension op per the brief.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("__dom"),
+        F.coalesce(F.col(tokens_col), F.lit(0)).cast("long").alias("__tok"),
+        F.col(score_col).cast("double").alias("__score"),
+    )
+    spans = narrow.groupBy("__dom").agg(
+        F.min("__score").alias("__lo"), F.max("__score").alias("__hi")
+    )
+    # DESC bucket id: highest score -> bucket 0; NULL score -> last.
+    # Equal scores always share a bucket (quantization is a function of
+    # the value), so (bucket ASC) refines (score DESC) exactly.
+    b = F.when(F.col("__score").isNull(), F.lit(n_buckets)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__hi") - F.col("__score"))
+                    / ((F.col("__hi") - F.col("__lo")) + F.lit(1e-300))
+                    * n_buckets
+                ).cast("int"),
+            ),
+        )
+    )
+    bucketed = narrow.join(spans, "__dom").select(
+        "doc_id", "__dom", "__tok", "__score", b.alias("__b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__dom").orderBy("__b")
+    stats = (
+        bucketed.groupBy("__dom", "__b")
+        .agg(F.sum("__tok").alias("__bt"))
+        .select(
+            "__dom",
+            "__b",
+            (F.sum("__bt").over(w) - F.col("__bt")).alias("__before"),
+            F.sum("__bt").over(w).alias("__through"),
+        )
+        .where(F.col("__before") <= budget)  # beyond boundary: dropped whole
+        .select(
+            "__dom",
+            "__b",
+            "__before",
+            (F.col("__through") <= budget).alias("__whole"),
+        )
+    )
+    tagged = bucketed.join(stats, ["__dom", "__b"])  # inner: drops post-boundary
+    kept_whole = tagged.where("__whole")
+    wb = (
+        Window.partitionBy("__dom")
+        .orderBy(F.desc_nulls_last("__score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        tagged.where(~F.col("__whole"))
+        .withColumn("__cum", F.col("__before") + F.sum("__tok").over(wb))
+        .where(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+    return (
+        kept_whole.unionByName(kept_boundary)
+        .select(
+            "doc_id",
+            F.col("__dom").alias(domain_col),
+            F.col("__tok").alias(tokens_col),
+            F.col("__score").alias(score_col),
+        )
     )
