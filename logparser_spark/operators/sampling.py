@@ -448,6 +448,15 @@ def token_budget_select(
     The result row set is exactly the naive window's, so the DuckDB
     oracle is a plain SUM() OVER cumsum.
 
+    Plan audit (explain at 100k rows): kept-whole rows reach the output
+    through scan -> broadcast joins -> filter with ZERO data-sized
+    exchanges — only boundary rows cross a window exchange. The two
+    union branches each re-derive the narrow projection from the scan
+    (Spark re-evaluates the shared DAG): at corpus scale two pruned
+    4-column scans with map-side-combined stat aggregates beat either
+    persisting a data-sized intermediate or pushing every kept row
+    through a (domain, bucket)-partitioned window sort.
+
     Reference parity: none; §2-extension op per the brief.
     """
     if n_buckets < 2:
