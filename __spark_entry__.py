@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             # release intermediates the PREVIOUS query persisted (the
-            # driver has materialized its result by now) so a 50-query
+            # driver has materialized its result by now) so a full-surface
             # sweep never accumulates disk-spilled cache blocks
             from logparser_spark.operators.util import release_persisted
 
