@@ -353,14 +353,18 @@ def split_case_sql(weights: dict[str, float], key_sql: str) -> str:
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    names = list(weights)
+    names = list(weights)  # insertion order fixes the boundary order
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"  # SQL quote doubling
+
     h = hash16_sql(key_sql)
     arms, acc = [], 0.0
     for name in names[:-1]:
         acc += weights[name]
         bound = int(round(acc * _HEX_SPACE))
-        arms.append(f"WHEN {h} < {bound} THEN '{name}'")
-    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+        arms.append(f"WHEN {h} < {bound} THEN {lit(name)}")
+    return "CASE " + " ".join(arms) + f" ELSE {lit(names[-1])} END"
 
 
 def leakage_safe_split(
@@ -399,6 +403,8 @@ def leakage_safe_split(
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     case = split_case_sql(weights, "cluster_id")
     if clusters is None:
+        if docs is None:
+            raise ValueError("pass docs (to cluster here) or clusters")
         from logparser_spark.operators.dedup import near_dup_clusters
 
         clusters = near_dup_clusters(docs, threshold=threshold)
