@@ -94,6 +94,22 @@ def q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(documents(spark, sf_dir), carry_cols=("lang",))
 
 
+def q_near_dedup_incr(spark, sf_dir):
+    """Cross-corpus FUZZY incremental dedup (the near-dup analog of
+    dedup_exact's 'incr' branch): the corpus is the md5-bucket slice
+    already ingested, the new batch is the rest; a new row is dropped
+    iff a verified word-trigram Jaccard >= 0.8 match exists in the
+    corpus. LSH recall is 1 - (1 - 0.8^2)^64 at the threshold, so the
+    surviving set equals the exhaustive cross-comparison oracle."""
+    docs = documents(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    corpus = docs.where(bucket < _CORPUS_THR)
+    new = docs.where(~(bucket < _CORPUS_THR))
+    return dedup.near_dedup_incremental(new, corpus, threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_ngram_vocab(spark, sf_dir):
     return textstats.ngram_vocab(documents(spark, sf_dir), n=3, k=100)
 
@@ -482,6 +498,7 @@ DOC_QUERIES = {
     "ann_brute": q_ann_brute,
     "leakage_split": q_leakage_split,
     "token_budget": q_token_budget,
+    "near_dedup_incr": q_near_dedup_incr,
 }
 
 # ---------------------------------------------------------------------
@@ -661,6 +678,32 @@ FROM (
   FROM documents d LEFT JOIN comp c USING (doc_id)
 )""",
     "token_budget": _token_budget_oracle(),
+    # cross-side (new x corpus) fuzzy dedup: both directions matter
+    # (a new doc may have a lower id than its corpus match), so the
+    # shared one-directional `inter` CTE is bypassed
+    "near_dedup_incr": _SHINGLE_CTE
+    + f"""
+, side AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_CORPUS_THR}' AS in_corpus
+  FROM documents
+),
+x AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corp_id, COUNT(*) AS inter
+  FROM sh a JOIN side na ON na.doc_id = a.doc_id AND NOT na.in_corpus
+       JOIN sh b ON b.shingle = a.shingle
+       JOIN side cb ON cb.doc_id = b.doc_id AND cb.in_corpus
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT x.new_id
+  FROM x JOIN sz za ON za.doc_id = x.new_id
+       JOIN sz zb ON zb.doc_id = x.corp_id
+  WHERE 1.0 * x.inter / (za.n_sh + zb.n_sh - x.inter) >= 0.8
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN side s ON s.doc_id = d.doc_id AND NOT s.in_corpus
+WHERE d.doc_id NOT IN (SELECT new_id FROM dup)""",
     # top-k n-grams by document frequency; `sh` in the CTE is already
     # the DISTINCT (doc_id, shingle) set, so COUNT(*) = doc freq.
     # Tie-break pinned to (doc_freq DESC, shingle ASC) in both engines.

@@ -783,3 +783,93 @@ def paragraph_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def near_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_funcs: int = MINHASH_FUNCS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Rows of ``new_df`` with NO verified near-duplicate (word-n-gram
+    Jaccard >= threshold) in ``corpus_df`` — the fuzzy form of
+    ``sampling.dedup_incremental``: yesterday's dumps are already
+    deduped, today's crawl is checked against them at NEAR-dup level
+    (the cross-dump fuzzy dedup step of CCNet/RefinedWeb-style
+    pipelines). Within-batch duplicates are out of scope by design —
+    compose with ``near_dup_clusters(new_df)`` for that.
+
+    The two id spaces may overlap (each dump numbers its own docs), so
+    this is NOT expressible as minhash_lsh_pairs over a union: sides
+    stay separate end to end.
+
+    Plan: minhash signatures are a pure map stage on each side; banded
+    candidates come from a new-bands x corpus-bands equi-join on
+    (band_id, band_hash) — same recall math as minhash_lsh_pairs
+    (miss probability (1 - t^r)^b, < 1e-28 at j >= 0.8 with r=2, b=64,
+    so the surviving set equals the exhaustive cross-comparison and the
+    all-cross-pairs SQL oracle). Exact verify shingles ONLY docs that
+    appear in a candidate pair (candidates << corpus at scale), then
+    one left-anti join drops matched new rows. Shuffle budget: band
+    exchange on each side, the verify's candidate-bounded shingle join,
+    and the anti-join on new-batch ids; corpus text beyond candidate
+    docs never moves. For a standing daily pipeline, persist the
+    corpus's (band_id, band_hash, doc_id) table once, bucketed by band
+    hash: each new dump then joins with zero corpus-side shuffle — the
+    fuzzy analog of the bucketed-signature note on dedup_incremental.
+    """
+    n_bands = n_funcs // rows_per_band
+
+    def bands_of(docs: DataFrame, id_alias: str) -> DataFrame:
+        sig = minhash_signatures(docs, n_funcs)
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band_id", "band_hash"),
+        )
+
+    new_df = spread(new_df)
+    cand = (
+        bands_of(new_df, "new_id")
+        .join(bands_of(corpus_df, "corp_id"), ["band_id", "band_hash"])
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+
+    def cand_shingles(docs: DataFrame, id_alias: str) -> tuple:
+        pruned = docs.select(F.col("doc_id").alias(id_alias), "text").join(
+            cand.select(id_alias).distinct(), id_alias, "left_semi"
+        )
+        arr = shingle_arrays(pruned.withColumnRenamed(id_alias, "doc_id"))
+        sh = arr.select(
+            F.col("doc_id").alias(id_alias), F.explode("sh_list").alias("shingle")
+        )
+        sz = arr.select(
+            F.col("doc_id").alias(id_alias), F.size("sh_list").alias(f"n_{id_alias}")
+        )
+        return sh, sz
+
+    new_sh, new_sz = cand_shingles(new_df, "new_id")
+    corp_sh, corp_sz = cand_shingles(corpus_df, "corp_id")
+    inter = (
+        cand.join(new_sh, "new_id")
+        .join(corp_sh, ["corp_id", "shingle"])
+        .groupBy("new_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union_sz = F.col("n_new_id") + F.col("n_corp_id") - F.col("inter")
+    dup_new = (
+        inter.join(new_sz, "new_id")
+        .join(corp_sz, "corp_id")
+        .where(F.col("inter") / union_sz >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new_df.join(dup_new, "doc_id", "left_anti")

@@ -355,3 +355,58 @@ def test_soft_dedup_weights_null_text_group(spark):
     for i in (1, 2, 3, 5):
         assert got[i] == (None, 4, 1_000_000 // 4)
     assert got[4][1:] == (1, 1_000_000)
+
+
+# --- near_dedup_incremental ------------------------------------------------
+
+
+def _py_shingles(t, n=3):
+    w = t.split(" ")
+    return set(" ".join(w[k : k + n]) for k in range(len(w) - n + 1)) if len(w) >= n else set()
+
+
+def test_near_dedup_incremental_matches_brute_force(spark):
+    """Cross-corpus fuzzy dedup vs an exhaustive python model, with
+    OVERLAPPING id spaces (each dump numbers its own docs) and short
+    (<n-gram) docs that can never match."""
+    from logparser_spark.operators.dedup import near_dedup_incremental
+
+    rows_c, rows_n = [], []
+    for i in range(40):
+        words = [f"w{(i * 13 + j) % 200}" for j in range(30)]
+        rows_c.append((i, " ".join(words)))
+        if i < 15:  # near-dup of corpus doc i, same doc_id on purpose
+            rows_n.append((i, " ".join(words[:-1] + ["zz"])))
+    for i in range(15, 40):
+        rows_n.append((i, " ".join(f"u{(i * 31 + j) % 500}" for j in range(30))))
+    rows_n.append((99, "too short"))  # < 3 words: no shingles, always kept
+    corpus = spark.createDataFrame(rows_c, "doc_id long, text string")
+    new = spark.createDataFrame(rows_n, "doc_id long, text string")
+    got = sorted(
+        r.doc_id for r in near_dedup_incremental(new, corpus, threshold=0.5).collect()
+    )
+    cs = [_py_shingles(t) for _, t in rows_c]
+    want = sorted(
+        i
+        for i, t in rows_n
+        if not any(
+            (s := _py_shingles(t)) and c and len(s & c) / len(s | c) >= 0.5
+            for c in cs
+        )
+    )
+    assert got == want
+    assert 99 in got and 0 not in got
+
+
+def test_near_dedup_incremental_disjoint_corpora_all_survive(spark):
+    from logparser_spark.operators.dedup import near_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"a{i}b{j}" for j in range(20))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, " ".join(f"x{i}y{j}" for j in range(20))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert near_dedup_incremental(new, corpus).count() == 20
