@@ -8,6 +8,7 @@ heavy dedup operators (the ones whose 100-TB plans the judge audits):
     python scripts/op_scaling.py clusters  [n_docs]   # near_dup_clusters (star CC)
     python scripts/op_scaling.py paragraph [n_docs]   # paragraph dedup + rewrite
     python scripts/op_scaling.py budget    [n_docs]   # token_budget_select
+    python scripts/op_scaling.py neardedup [n_docs]   # cross-corpus fuzzy incremental dedup
 
 Protocol (same defenses as bench.py --scaling, because this sandbox
 VM's available CPU drifts with host contention):
@@ -124,6 +125,19 @@ def run_paragraph(docs):
     return dedup.paragraph_dedup(docs)
 
 
+def run_neardedup(docs):
+    # even ids = prior dump (corpus), odd ids = new dump; the corpus
+    # shape makes ids ~1 (mod 50) 29/30-word near-dups of their (even,
+    # corpus-side) predecessor, so ~2% of the new dump really matches
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    corpus = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    new = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    return dedup.near_dedup_incremental(new, corpus, threshold=0.8)
+
+
 def run_budget(docs):
     from logparser_spark.operators import sampling
 
@@ -137,6 +151,7 @@ OPS = {
     "clusters": (near_dup_corpus, run_clusters),
     "paragraph": (paragraph_corpus, run_paragraph),
     "budget": (budget_corpus, run_budget),
+    "neardedup": (near_dup_corpus, run_neardedup),
 }
 
 
