@@ -908,13 +908,12 @@ def q_shards(spark, sf_dir):
 
 
 def _shards_oracle() -> str:
-    v = " + ".join(
-        f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    )
+    from logparser_spark.operators.sampling import hex16_decode_sql
+
+    v = hex16_decode_sql("h")  # h = the CTE's precomputed md5 column
     return f"""
 WITH b AS (SELECT event_id AS doc_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
-s AS (SELECT doc_id, h, ({v}) % {_N_SHARDS} AS shard FROM b)
+s AS (SELECT doc_id, h, {v} % {_N_SHARDS} AS shard FROM b)
 SELECT doc_id, CAST(shard AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
 FROM s"""

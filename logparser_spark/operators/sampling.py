@@ -189,18 +189,23 @@ def stratified_take(
 _HEX = "0123456789abcdef"
 
 
-def hash16_sql(key_sql: str) -> str:
-    """Engine-portable 16-bit content hash as a SQL expression string:
-    the first FOUR md5 hex chars of ``key_sql`` cast to string, decoded
-    to an integer in [0, 65536) with instr() arithmetic. md5 / cast AS
-    STRING / substr / instr have identical semantics in Spark SQL and
-    DuckDB, so an oracle embedding the SAME string reproduces the exact
-    value (the idiom the green ``shards`` driver row already pins)."""
-    h = f"md5(cast({key_sql} as string))"
+def hex16_decode_sql(hex_sql: str) -> str:
+    """First FOUR hex chars of ``hex_sql`` decoded to an integer in
+    [0, 65536) with instr() arithmetic — identical semantics in Spark
+    SQL and DuckDB. The single home of the decode idiom: every Spark
+    expression and every oracle that needs it composes THIS string, so
+    the two engines cannot drift."""
     return "(" + " + ".join(
-        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        f"(instr('{_HEX}', substr({hex_sql}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
         for i in range(4)
     ) + ")"
+
+
+def hash16_sql(key_sql: str) -> str:
+    """Engine-portable 16-bit content hash as a SQL expression string:
+    ``hex16_decode_sql`` over md5(``key_sql`` cast to string) — the
+    idiom the green ``shards`` driver row already pins."""
+    return hex16_decode_sql(f"md5(cast({key_sql} as string))")
 
 
 def content_shard_expr(id_col: str, n_shards: int):
@@ -430,8 +435,12 @@ def token_budget_select(
     corpora into a fixed-size training mix.
 
     Output: the selected rows as (doc_id, <domain_col>, <tokens_col>,
-    <score_col>). NULL tokens count 0; tokens must be >= 0 (negative
-    values would break the prefix-monotonicity the plan exploits).
+    <score_col>), values exactly as the input row carried them. NULL
+    tokens count 0 toward the budget (but are returned as NULL); a NULL
+    domain is a domain of its own (null-safe joins throughout — a plain
+    equi-join would silently drop those rows); tokens must be >= 0
+    (negative values would break the prefix-monotonicity the plan
+    exploits).
 
     Scale plan — the naive form is a window cumsum per domain, which
     funnels every domain through ONE reducer sorting the full domain.
@@ -470,6 +479,8 @@ def token_budget_select(
     narrow = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("__dom"),
+        F.col(tokens_col).alias("__tok_orig"),  # returned untouched
+        F.col(score_col).alias("__score_orig"),  # returned untouched
         F.coalesce(F.col(tokens_col), F.lit(0)).cast("long").alias("__tok"),
         F.col(score_col).cast("double").alias("__score"),
     )
@@ -492,8 +503,20 @@ def token_budget_select(
             ),
         )
     )
-    bucketed = narrow.join(spans, "__dom").select(
-        "doc_id", "__dom", "__tok", "__score", b.alias("__b")
+    # joins on the domain must be NULL-SAFE: a plain equi-join would
+    # silently drop every NULL-domain row (groupBy/Window treat NULL as
+    # its own group, so only the joins need the <=> form)
+    spans = spans.withColumnRenamed("__dom", "__sdom")
+    bucketed = narrow.join(
+        spans, F.col("__dom").eqNullSafe(F.col("__sdom"))
+    ).select(
+        "doc_id",
+        "__dom",
+        "__tok_orig",
+        "__score_orig",
+        "__tok",
+        "__score",
+        b.alias("__b"),
     )
     from pyspark.sql import Window
 
@@ -515,7 +538,13 @@ def token_budget_select(
             (F.col("__through") <= budget).alias("__whole"),
         )
     )
-    tagged = bucketed.join(stats, ["__dom", "__b"])  # inner: drops post-boundary
+    stats = stats.withColumnRenamed("__dom", "__tdom").withColumnRenamed(
+        "__b", "__tb"
+    )
+    tagged = bucketed.join(  # inner: drops post-boundary buckets
+        stats,
+        F.col("__dom").eqNullSafe(F.col("__tdom")) & (F.col("__b") == F.col("__tb")),
+    )
     kept_whole = tagged.where("__whole")
     wb = (
         Window.partitionBy("__dom")
@@ -533,7 +562,7 @@ def token_budget_select(
         .select(
             "doc_id",
             F.col("__dom").alias(domain_col),
-            F.col("__tok").alias(tokens_col),
-            F.col("__score").alias(score_col),
+            F.col("__tok_orig").alias(tokens_col),
+            F.col("__score_orig").alias(score_col),
         )
     )

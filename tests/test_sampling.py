@@ -285,3 +285,24 @@ def test_leakage_safe_split_near_dups_never_straddle(spark):
     )
     assert pairs == 0
     assert sp.count() == 120
+
+
+def test_token_budget_select_null_domain_is_a_domain(spark):
+    """NULL domain rows form their own budget group (null-safe joins);
+    a plain equi-join would silently drop them. Output values are the
+    input's — NULL tokens count 0 toward the budget but return NULL."""
+    from logparser_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 5, 9.0),
+            (2, None, 5, 8.0),
+            (3, "a", 5, 7.0),
+            (4, "a", None, 6.0),
+        ],
+        "doc_id long, lang string, n_tokens int, score double",
+    )
+    out = {r.doc_id: r for r in token_budget_select(df, budget=7).collect()}
+    assert sorted(out) == [1, 3, 4]  # doc 4: NULL tokens cost 0 -> kept
+    assert out[1].lang is None and out[4].n_tokens is None  # values preserved
+    assert out[3].n_tokens == 5 and out[3].score == 7.0
