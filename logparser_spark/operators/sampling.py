@@ -451,26 +451,36 @@ def token_budget_select(
          exactly); aggregate sum(tokens) per (domain, bucket) — map-side
          combine, stats bounded by domains x buckets;
       3. running bucket totals (a window over <= n_buckets+1 stat rows
-         per domain) split buckets into kept-whole (cumulative <=
-         budget: every row kept, NO sort — any prefix of a kept-whole
-         region is under budget because tokens are nonnegative),
-         dropped-whole (previous buckets already filled the budget),
-         and ONE boundary bucket per domain;
-      4. only boundary-bucket rows — ~1/n_buckets of the domain when
-         scores spread; the whole domain only when scores are constant,
-         where every plan degenerates to the naive one — pay the exact
-         (score, id) sort + cumsum, offset by the kept-whole total.
+         per domain) reduce to ONE row per domain: the boundary bucket
+         b* (the first whose cumulative total exceeds budget) plus the
+         token total of the buckets before it. Because the running
+         total is monotone in the bucket id, "kept whole" is simply
+         ``bucket < b*`` (or the domain has no boundary row at all) —
+         the per-bucket stats never join back;
+      4. one null-safe LEFT join of the data against that <= 1-row-per-
+         domain boundary table decides every row: bucket < b* (or no
+         b*) -> kept, no sort — any prefix of the kept-whole region is
+         under budget because tokens are nonnegative; bucket == b* ->
+         the exact (score DESC, id) window cumsum offset by the
+         before-total, over ~1/n_buckets of the domain when scores
+         spread (the whole domain only when scores are constant, where
+         every plan degenerates to the naive one); bucket > b* ->
+         dropped.
     The result row set is exactly the naive window's, so the DuckDB
     oracle is a plain SUM() OVER cumsum.
 
-    Plan audit (explain at 100k rows): kept-whole rows reach the output
-    through scan -> broadcast joins -> filter with ZERO data-sized
-    exchanges — only boundary rows cross a window exchange. The two
+    Plan audit (AQE-final explain): both per-domain tables (score span,
+    boundary) broadcast — kept-whole rows reach the output through
+    scan -> broadcast joins -> filter with ZERO data-sized exchanges;
+    only boundary-bucket rows cross a window exchange. (An earlier
+    shape that joined the full (domain, bucket) stats table back
+    compiled to sort-merge joins that shuffled every pre-boundary data
+    row — the <= 1-row-per-domain reduction is what keeps the build
+    sides in the same boundedness class as the span table.) The two
     union branches each re-derive the narrow projection from the scan
-    (Spark re-evaluates the shared DAG): at corpus scale two pruned
-    4-column scans with map-side-combined stat aggregates beat either
-    persisting a data-sized intermediate or pushing every kept row
-    through a (domain, bucket)-partitioned window sort.
+    (Spark re-evaluates the shared DAG): two pruned 4-column scans with
+    map-side-combined stat aggregates beat persisting a data-sized
+    intermediate.
 
     Reference parity: none; §2-extension op per the brief.
     """
@@ -507,8 +517,15 @@ def token_budget_select(
     # silently drop every NULL-domain row (groupBy/Window treat NULL as
     # its own group, so only the joins need the <=> form)
     spans = spans.withColumnRenamed("__dom", "__sdom")
+    # explicit broadcast on BOTH per-domain tables (spans, boundary):
+    # they are domain-bounded (<= 1 row per domain — the same class as
+    # the repo's other broadcast stats tables, NOT data-sized candidate
+    # sets), and AQE was observed to leave these joins as sort-merge in
+    # this DAG shape (the probe-side shuffle materializes before the
+    # 3-stage-deep build's size is known), which would hash-exchange
+    # every data row on the domain key — the funnel this op avoids
     bucketed = narrow.join(
-        spans, F.col("__dom").eqNullSafe(F.col("__sdom"))
+        F.broadcast(spans), F.col("__dom").eqNullSafe(F.col("__sdom"))
     ).select(
         "doc_id",
         "__dom",
@@ -521,7 +538,11 @@ def token_budget_select(
     from pyspark.sql import Window
 
     w = Window.partitionBy("__dom").orderBy("__b")
-    stats = (
+    # <= ONE row per domain: the first bucket whose running total
+    # exceeds the budget, with the total of the buckets before it.
+    # Domains that fit entirely within budget produce NO row (their
+    # rows are all kept via the left join's null arm below).
+    boundary = (
         bucketed.groupBy("__dom", "__b")
         .agg(F.sum("__tok").alias("__bt"))
         .select(
@@ -530,29 +551,24 @@ def token_budget_select(
             (F.sum("__bt").over(w) - F.col("__bt")).alias("__before"),
             F.sum("__bt").over(w).alias("__through"),
         )
-        .where(F.col("__before") <= budget)  # beyond boundary: dropped whole
-        .select(
-            "__dom",
-            "__b",
-            "__before",
-            (F.col("__through") <= budget).alias("__whole"),
-        )
+        .where((F.col("__through") > budget) & (F.col("__before") <= budget))
+        .groupBy("__dom")
+        .agg(F.min("__b").alias("__bstar"), F.min("__before").alias("__before"))
+        .withColumnRenamed("__dom", "__tdom")
     )
-    stats = stats.withColumnRenamed("__dom", "__tdom").withColumnRenamed(
-        "__b", "__tb"
+    tagged = bucketed.join(
+        F.broadcast(boundary), F.col("__dom").eqNullSafe(F.col("__tdom")), "left"
     )
-    tagged = bucketed.join(  # inner: drops post-boundary buckets
-        stats,
-        F.col("__dom").eqNullSafe(F.col("__tdom")) & (F.col("__b") == F.col("__tb")),
+    kept_whole = tagged.where(
+        F.col("__bstar").isNull() | (F.col("__b") < F.col("__bstar"))
     )
-    kept_whole = tagged.where("__whole")
     wb = (
         Window.partitionBy("__dom")
         .orderBy(F.desc_nulls_last("__score"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     kept_boundary = (
-        tagged.where(~F.col("__whole"))
+        tagged.where(F.col("__b") == F.col("__bstar"))
         .withColumn("__cum", F.col("__before") + F.sum("__tok").over(wb))
         .where(F.col("__cum") <= budget)
         .drop("__cum")

@@ -189,3 +189,67 @@ def test_bpe_merge_kernel_zero_shuffle(spark):
     )
     plan = plan_of(bpe.bpe_apply(df, [(1, 2, 9, 3)]))
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_token_budget_select_plan_shape(spark):
+    """Scale pins for the select-by-threshold plan: every join resolves
+    to broadcast at stats size (domain-bounded build sides), nothing
+    falls back to sort-merge or a cartesian, and no window partitions
+    over the bare domain except the two intended ones (bucket-stat
+    cumsum + boundary sort) — i.e. kept-whole rows never cross a
+    window."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.sampling import token_budget_select
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.pmod(F.xxhash64("id"), F.lit(5))).alias("lang"),
+        F.pmod(F.xxhash64(F.col("id") * 3), F.lit(100)).alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col("id") * 7), F.lit(999)).cast("double").alias("score"),
+    )
+    out = token_budget_select(df, budget=5_000)
+    # the static plan shows pre-AQE sort-merge joins; the broadcast
+    # conversion is a RUNTIME decision, so execute THIS DataFrame's own
+    # QueryExecution (collect, not a noop write — a write plans a
+    # separate execution) and read the AQE-final plan
+    out.collect()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_near_dedup_incremental_plan_shape(spark):
+    """Scale pins for cross-corpus fuzzy dedup: the verify stage is
+    candidate-pruned (LeftSemi joins ahead of shingling on BOTH sides),
+    the final drop is one LeftAnti join, and nothing goes cartesian."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.dedup import near_dedup_incremental
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id") * 31 + j), F.lit(900)).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = near_dedup_incremental(new, corpus)
+    plan = plan_of(out)
+    assert plan.count("LeftSemi") >= 2  # both sides' verify prune
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
