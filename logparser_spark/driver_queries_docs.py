@@ -465,6 +465,70 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+# BM25 seed query: one rare/discriminative term ('dup', df~5%), three
+# common ones, one corpus-absent one (pins the df=0 -> contributes-0
+# semantics in both engines)
+_BM25_TERMS = ["dup", "hash", "scan", "vector", "zzz_absent"]
+_BM25_SCALE_IDF = 10**4
+_BM25_SCALE_DL = 10**4
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed seed-term
+    query (operators/relevance.py, Robertson & Zaragoza 2009) — the
+    lexical slice selector of a curation pipeline. The driver row runs
+    the integer fixed-point twin (rational idf, k1=6/5 b=3/4 as exact
+    rationals, pure integer floor division) so it is DuckDB-oracle-
+    exact; the float log-idf production scorer is differential-pytest-
+    pinned (tests/test_relevance.py). Plan: ONE bounded stats aggregate
+    (N, sum_dl, per-term df — |query|-bounded output), then a
+    zero-shuffle whole-stage-codegen projection (tf via array HOFs, no
+    explode, no Python)."""
+    from logparser_spark.operators import relevance
+
+    return relevance.bm25_score_fp(
+        documents(spark, sf_dir),
+        _BM25_TERMS,
+        scale_idf=_BM25_SCALE_IDF,
+        scale_dl=_BM25_SCALE_DL,
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    si, sd = _BM25_SCALE_IDF, _BM25_SCALE_DL
+    return f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(string_split(text, ' '), []) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+q(term) AS (VALUES {terms}),
+tf AS (
+  SELECT doc_id, dl, term,
+         CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+  FROM dl CROSS JOIN q
+),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl),
+dfx AS (SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfc
+        FROM tf GROUP BY 1),
+idf AS (
+  SELECT term, ({si} * (2 * (s.n - dfc) + 1)) // (2 * dfc + 1) AS idf_fp
+  FROM dfx CROSS JOIN stats s WHERE dfc > 0
+),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         (i.idf_fp * {44 * sd} * tf.tf) //
+         (20 * {sd} * tf.tf + {6 * sd} +
+          18 * (({sd} * tf.dl * s.n) // s.sum_dl)) AS c
+  FROM tf JOIN idf i USING (term) CROSS JOIN stats s
+)
+SELECT dl.doc_id, dl.dl,
+       CAST(COALESCE(SUM(c.tf), 0) AS BIGINT) AS tf_sum,
+       CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS score_fp
+FROM dl LEFT JOIN contrib c USING (doc_id)
+GROUP BY 1, 2"""
+
+
 def _token_budget_oracle() -> str:
     return f"""
 WITH t AS (
@@ -499,6 +563,7 @@ DOC_QUERIES = {
     "leakage_split": q_leakage_split,
     "token_budget": q_token_budget,
     "near_dedup_incr": q_near_dedup_incr,
+    "bm25": q_bm25,
 }
 
 # ---------------------------------------------------------------------
@@ -563,6 +628,7 @@ WITH m AS (
 
 DOC_ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_oracle(),
+    "bm25": _bm25_oracle(),
     "mix_sample": _mix_sample_oracle(),
     "curation": _curation_oracle(),
     "cleaning": _cleaning_oracle(),

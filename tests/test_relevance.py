@@ -1,0 +1,144 @@
+"""BM25 relevance scoring (operators/relevance.py): differential
+tests against an independent pure-python model, the integer
+fixed-point twin's exact equality, and the zero-shuffle plan claim."""
+
+import math
+
+import pytest
+
+from logparser_spark.operators import relevance
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat cat cat cat"),
+    (3, ""),  # splits to [''] -> dl=1, no query terms
+    (4, None),  # NULL text -> dl=0
+    (5, "mat mat dog the the the the a b c d e f g h"),
+    (6, "completely unrelated words here"),
+]
+TERMS = ["cat", "mat", "zzz_absent", "the"]
+
+
+def _py_model(corpus, terms):
+    """Independent reference: plain-python BM25 over the same
+    tokenization (split on single space; None -> no tokens)."""
+    toks = {i: ([] if t is None else t.split(" ")) for i, t in corpus}
+    n = len(toks)
+    dls = {i: len(w) for i, w in toks.items()}
+    sum_dl = sum(dls.values())
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    tf = {(i, t): w.count(t) for i, w in toks.items() for t in terms}
+    return toks, n, dls, sum_dl, df, tf
+
+
+def _py_float(corpus, terms, k1=1.2, b=0.75):
+    toks, n, dls, sum_dl, df, tf = _py_model(corpus, terms)
+    out = {}
+    for i in toks:
+        s = 0.0
+        for t in terms:
+            if df[t] == 0 or tf[i, t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            denom = tf[i, t] + k1 * (1 - b + b * dls[i] * n / sum_dl)
+            s += idf * tf[i, t] * (k1 + 1) / denom
+        out[i] = (dls[i], sum(tf[i, t] for t in terms), s)
+    return out
+
+
+def _py_fp(corpus, terms, scale_idf=10**4, scale_dl=10**4):
+    toks, n, dls, sum_dl, df, tf = _py_model(corpus, terms)
+    out = {}
+    for i in toks:
+        s = 0
+        for t in terms:
+            if df[t] == 0:
+                continue
+            idf_fp = (scale_idf * (2 * (n - df[t]) + 1)) // (2 * df[t] + 1)
+            ndl = (scale_dl * dls[i] * n) // sum_dl
+            s += (idf_fp * 44 * scale_dl * tf[i, t]) // (
+                20 * scale_dl * tf[i, t] + 6 * scale_dl + 18 * ndl
+            )
+        out[i] = (dls[i], sum(tf[i, t] for t in terms), s)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_float_matches_python_model(docs):
+    got = {
+        r["doc_id"]: (r["dl"], r["tf_sum"], r["score"])
+        for r in relevance.bm25_score(docs, TERMS).collect()
+    }
+    want = _py_float(CORPUS, TERMS)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], f"dl mismatch doc {i}"
+        assert got[i][1] == want[i][1], f"tf_sum mismatch doc {i}"
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-9), f"doc {i}"
+
+
+def test_bm25_fp_matches_python_model_exactly(docs):
+    got = {
+        r["doc_id"]: (r["dl"], r["tf_sum"], r["score_fp"])
+        for r in relevance.bm25_score_fp(docs, TERMS).collect()
+    }
+    assert got == _py_fp(CORPUS, TERMS)
+
+
+def test_fp_ranks_like_float_on_single_term(docs):
+    """Per single term the fp score is a monotone transform of the
+    float score's rational core — ranking by it ranks identically
+    (modulo fixed-point resolution, generous here)."""
+    fl = {r["doc_id"]: r["score"] for r in relevance.bm25_score(docs, ["cat"]).collect()}
+    fp = {r["doc_id"]: r["score_fp"] for r in relevance.bm25_score_fp(docs, ["cat"]).collect()}
+    order_fl = sorted(fl, key=lambda i: (-fl[i], i))
+    order_fp = sorted(fp, key=lambda i: (-fp[i], i))
+    assert order_fl == order_fp
+
+
+def test_empty_query_rejected(docs):
+    with pytest.raises(ValueError):
+        relevance.bm25_score(docs, [])
+    with pytest.raises(ValueError):
+        relevance.bm25_score_fp(docs, [])
+
+
+def test_all_absent_terms_score_zero(docs):
+    rows = relevance.bm25_score_fp(docs, ["zzz", "yyy"]).collect()
+    assert all(r["score_fp"] == 0 and r["tf_sum"] == 0 for r in rows)
+    rows = relevance.bm25_score(docs, ["zzz"]).collect()
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_topk_is_float_head(docs):
+    all_scores = relevance.bm25_score(docs, TERMS).collect()
+    want = [
+        r["doc_id"]
+        for r in sorted(all_scores, key=lambda r: (-r["score"], r["doc_id"]))
+    ][:3]
+    got = [r["doc_id"] for r in relevance.bm25_topk(docs, TERMS, k=3).collect()]
+    assert got == want
+
+
+def test_scoring_plan_is_zero_shuffle(docs):
+    """The returned frame must be a pure projection over the scan —
+    the stats job already ran at build time; scoring itself has no
+    Exchange, no Join, and TakeOrdered (not a full Sort+Exchange) for
+    the top-k variant."""
+    plan = relevance.bm25_score_fp(docs, TERMS)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    plan_f = relevance.bm25_score(docs, TERMS)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_f and "Join" not in plan_f, plan_f
+    plan_k = relevance.bm25_topk(docs, TERMS, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_k, plan_k
+
+
+def test_fp_overflow_contract(spark):
+    big = spark.createDataFrame([(0, "x " * 10)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overflow"):
+        relevance.bm25_score_fp(big, ["x"], scale_idf=2**40, scale_dl=2**20)
