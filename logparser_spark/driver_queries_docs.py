@@ -529,6 +529,59 @@ FROM dl LEFT JOIN contrib c USING (doc_id)
 GROUP BY 1, 2"""
 
 
+_KW_K = 3
+_KW_MAX_DF_RATIO = 0.9
+_KW_SCALE = 10**4
+
+
+def q_keywords(spark, sf_dir):
+    """Per-document tf-idf keyword extraction (operators/relevance.py
+    tfidf_keywords): top-3 salient terms per doc by integer-exact
+    tf x rational-idf, stopword-guarded at df > 0.9N, ties pinned
+    (score desc, term asc). Plan: one uniform (doc, term) count
+    shuffle, one vocab-bounded df shuffle, an AQE-broadcast term join,
+    and a per-doc sort_array+slice top-k whose collected list is
+    bounded by the doc's own unique-term count."""
+    from logparser_spark.operators import relevance
+
+    return relevance.tfidf_keywords(
+        documents(spark, sf_dir),
+        k=_KW_K,
+        scale=_KW_SCALE,
+        max_df_ratio=_KW_MAX_DF_RATIO,
+    )
+
+
+def _keywords_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(string_split(text, ' '), []) AS w FROM documents
+),
+stats AS (SELECT COUNT(*) AS n FROM d),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2
+),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+keep AS (
+  SELECT term, df FROM dfx CROSS JOIN stats
+  WHERE df >= 1 AND df <= CAST(floor({_KW_MAX_DF_RATIO} * n) AS BIGINT)
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (({_KW_SCALE} * (2 * (s.n - k.df) + 1)) // (2 * k.df + 1))
+           AS score_fp
+  FROM tf JOIN keep k USING (term) CROSS JOIN stats s
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, score_fp
+FROM r WHERE rnk <= {_KW_K}"""
+
+
 def _token_budget_oracle() -> str:
     return f"""
 WITH t AS (
@@ -564,6 +617,7 @@ DOC_QUERIES = {
     "token_budget": q_token_budget,
     "near_dedup_incr": q_near_dedup_incr,
     "bm25": q_bm25,
+    "keywords": q_keywords,
 }
 
 # ---------------------------------------------------------------------
@@ -629,6 +683,7 @@ WITH m AS (
 DOC_ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_oracle(),
     "bm25": _bm25_oracle(),
+    "keywords": _keywords_oracle(),
     "mix_sample": _mix_sample_oracle(),
     "curation": _curation_oracle(),
     "cleaning": _cleaning_oracle(),

@@ -240,6 +240,111 @@ def bm25_score_fp(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = DEFAULT_SCALE_IDF,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Top-k salient terms per document by tf-idf — the keyword /
+    topic-fingerprint extractor (classic tf-idf; Sparck Jones 1972).
+
+    Output (id, rank, term, tf, score_fp), rank 1..k per doc, with the
+    integer score ``score_fp = tf * idf_fp`` and the rational idf
+    ``idf_fp = (scale * (2*(N - df) + 1)) div (2*df + 1)`` (monotone in
+    the log idf — see ``bm25_score_fp``); ties broken (score desc,
+    term asc), both pinned so the row set is engine-exact. Terms with
+    ``df < min_df`` or ``df > max_df_ratio * N`` are dropped first
+    (the stopword guard).
+
+    Scale plan (unlike BM25's fixed seed set, this runs over the FULL
+    vocabulary, so the df table cannot ride along as literals):
+    - explode -> per-(doc, term) counts: ONE data-sized shuffle whose
+      key includes doc_id, so it is uniform by construction (a hot
+      term does not funnel — its counts pre-aggregate map-side per
+      doc);
+    - term -> df: a second, |vocab|-bounded shuffle off the same
+      frame (``token_histogram``'s bound);
+    - tf x df join on term: the df side is vocab-bounded — AQE
+      broadcasts it;
+    - per-doc top-k: groupBy(doc) with sort_array + slice — the
+      collected list is bounded by the doc's own unique-term count
+      (never corpus-sized), then explodes back to k rows.
+
+    Overflow contract: ``scale * (2N + 1) * max tf`` must fit int64 —
+    checked loudly against the observed N and max doc length.
+    """
+    if k <= 0:
+        raise ValueError("tfidf_keywords: k must be positive")
+    if min_df < 1 or not (0.0 < max_df_ratio <= 1.0):
+        raise ValueError(
+            "tfidf_keywords: min_df >= 1 and 0 < max_df_ratio <= 1 required"
+        )
+    toks = _tokens_col(text_col)
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.max(F.size(toks)), F.lit(0)).alias("max_dl"),
+    ).first()
+    n, max_dl = int(stats["n"]), int(stats["max_dl"])
+    if scale * (2 * n + 1) * max(max_dl, 1) >= 2**63:
+        raise ValueError(
+            "tfidf_keywords: scale * (2N+1) * max_dl overflows int64 — "
+            "lower scale"
+        )
+    max_df = int(max_df_ratio * n)
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .withColumn(
+            "idf_fp",
+            F.expr(f"({scale} * (2 * ({n} - df) + 1)) div (2 * df + 1)"),
+        )
+    )
+    scored = tf.join(df_t, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_fp")).cast("long").alias("score_fp"),
+    )
+    top = (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score_fp")).alias("neg"),
+                            F.col("term"),
+                            F.col("tf"),
+                            F.col("score_fp"),
+                        )
+                    )
+                ),
+                1,
+                int(k),
+            ).alias("tops")
+        )
+        .select(id_col, F.posexplode("tops").alias("pos", "t"))
+    )
+    return top.select(
+        id_col,
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("t.term").alias("term"),
+        F.col("t.tf").alias("tf"),
+        F.col("t.score_fp").alias("score_fp"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

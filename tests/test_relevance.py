@@ -138,6 +138,72 @@ def test_scoring_plan_is_zero_shuffle(docs):
     assert "TakeOrderedAndProject" in plan_k, plan_k
 
 
+def _py_keywords(corpus, k, scale=10**4, min_df=1, max_df_ratio=1.0):
+    toks = {i: ([] if t is None else t.split(" ")) for i, t in corpus}
+    n = len(toks)
+    df = {}
+    for w in toks.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    keep = {t for t, d in df.items() if min_df <= d <= int(max_df_ratio * n)}
+    out = []
+    for i, w in toks.items():
+        tf = {}
+        for t in w:
+            if t in keep:
+                tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (
+                t,
+                c,
+                c * ((scale * (2 * (n - df[t]) + 1)) // (2 * df[t] + 1)),
+            )
+            for t, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (t, c, s) in enumerate(scored[:k], 1):
+            out.append((i, rank, t, c, s))
+    return sorted(out)
+
+
+def test_keywords_match_python_model(docs):
+    got = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["score_fp"])
+        for r in relevance.tfidf_keywords(docs, k=3).collect()
+    )
+    assert got == _py_keywords(CORPUS, k=3)
+
+
+def test_keywords_max_df_drops_stopwords(docs):
+    # 'the' appears in 3/7 docs; max_df_ratio=0.3 -> max_df=2 drops it
+    rows = relevance.tfidf_keywords(docs, k=10, max_df_ratio=0.3).collect()
+    assert all(r["term"] != "the" for r in rows)
+    assert sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["score_fp"])
+        for r in rows
+    ) == _py_keywords(CORPUS, k=10, max_df_ratio=0.3)
+
+
+def test_keywords_rank_is_dense_from_one(docs):
+    rows = relevance.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_keywords_bad_args(docs):
+    with pytest.raises(ValueError):
+        relevance.tfidf_keywords(docs, k=0)
+    with pytest.raises(ValueError):
+        relevance.tfidf_keywords(docs, k=3, min_df=0)
+    with pytest.raises(ValueError):
+        relevance.tfidf_keywords(docs, k=3, max_df_ratio=1.5)
+    with pytest.raises(ValueError, match="overflow"):
+        relevance.tfidf_keywords(docs, k=3, scale=2**60)
+
+
 def test_fp_overflow_contract(spark):
     big = spark.createDataFrame([(0, "x " * 10)], "doc_id long, text string")
     with pytest.raises(ValueError, match="overflow"):
