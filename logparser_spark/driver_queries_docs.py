@@ -582,6 +582,64 @@ SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, score_fp
 FROM r WHERE rnk <= {_KW_K}"""
 
 
+_POSTINGS_SHARD = 64
+
+
+def q_postings(spark, sf_dir):
+    """Sharded inverted index (operators/relevance.py inverted_index):
+    term -> doc_id-sorted posting lists, pre-split into
+    ``ceil(df/64)`` shards by ``doc_id % n_shards`` so a stopword's
+    corpus-sized posting list can never funnel one reducer. The
+    posting arrays are reported as witnesses (count / first / last /
+    md5 of the comma-joined sorted ids) — the dup_span_report
+    convention — so DuckDB value-checks the actual list content."""
+    from logparser_spark.operators import relevance
+
+    idx = relevance.inverted_index(
+        documents(spark, sf_dir), shard_size=_POSTINGS_SHARD
+    )
+    return idx.select(
+        "term",
+        "shard",
+        "n_shards",
+        "df",
+        F.size("postings").cast("long").alias("n_in"),
+        F.element_at("postings", 1).cast("long").alias("first_id"),
+        F.element_at("postings", -1).cast("long").alias("last_id"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("postings", lambda x: x.cast("string"))
+            )
+        ).alias("postings_md5"),
+    )
+
+
+def _postings_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(string_split(text, ' '), []) AS w FROM documents
+),
+pairs AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM d),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+k AS (
+  SELECT term, df,
+         (df + {_POSTINGS_SHARD} - 1) // {_POSTINGS_SHARD} AS n_shards
+  FROM dfx
+),
+sh AS (
+  SELECT p.doc_id, p.term, k.df, k.n_shards,
+         CAST(p.doc_id % k.n_shards AS BIGINT) AS shard
+  FROM pairs p JOIN k USING (term)
+)
+SELECT term, shard, n_shards, df,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS postings_md5
+FROM sh GROUP BY 1, 2, 3, 4"""
+
+
 def _token_budget_oracle() -> str:
     return f"""
 WITH t AS (
@@ -618,6 +676,7 @@ DOC_QUERIES = {
     "near_dedup_incr": q_near_dedup_incr,
     "bm25": q_bm25,
     "keywords": q_keywords,
+    "postings": q_postings,
 }
 
 # ---------------------------------------------------------------------
@@ -684,6 +743,7 @@ DOC_ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_oracle(),
     "bm25": _bm25_oracle(),
     "keywords": _keywords_oracle(),
+    "postings": _postings_oracle(),
     "mix_sample": _mix_sample_oracle(),
     "curation": _curation_oracle(),
     "cleaning": _cleaning_oracle(),

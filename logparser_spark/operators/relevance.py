@@ -345,6 +345,71 @@ def tfidf_keywords(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    shard_size: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Sharded inverted index (term -> sorted posting list of doc ids)
+    — the retrieval-side companion of ``bm25_score`` and the classic
+    "which documents contain this token" structure behind corpus
+    search, decontamination lookups, and targeted re-crawls.
+
+    The scale problem is posting-list skew: a stopword's postings are
+    corpus-sized, so "groupBy(term) + collect_list" funnels the whole
+    corpus through single reducers. Here every term is pre-split into
+    ``n_shards = ceil(df / shard_size)`` shards and a doc lands in
+    shard ``doc_id % n_shards`` — deterministic (engine-exact, SQL-
+    reproducible) and uniform for dense id domains, so no collected
+    list exceeds ~``shard_size`` regardless of term frequency. For
+    non-dense/adversarial id spaces substitute a hash for the modulo
+    (``pmod(xxhash64(id), n_shards)``) — same plan, loses only the
+    cross-engine oracle.
+
+    Output: (term, shard, n_shards, df, postings) with postings a
+    doc_id-sorted array<long>, one row per (term, shard).
+
+    Plan: per-doc ``array_distinct`` + explode -> distinct (doc, term)
+    pairs (ONE data-sized shuffle, key includes doc_id -> uniform);
+    term -> df (|vocab|-bounded shuffle); df joined back on term (AQE
+    broadcasts the vocab-bounded side); groupBy(term, shard) whose
+    collected list is capped by shard sizing, never by df.
+    ``min_df``/``max_df_ratio`` drop hapaxes/stopwords up front when
+    the index should not carry them at all.
+    """
+    if shard_size <= 0:
+        raise ValueError("inverted_index: shard_size must be positive")
+    if min_df < 1 or not (0.0 < max_df_ratio <= 1.0):
+        raise ValueError(
+            "inverted_index: min_df >= 1 and 0 < max_df_ratio <= 1 required"
+        )
+    toks = _tokens_col(text_col)
+    pairs = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    df_t = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if max_df_ratio < 1.0:
+        n = docs.count()
+        df_t = df_t.where(F.col("df") <= int(max_df_ratio * n))
+    if min_df > 1:
+        df_t = df_t.where(F.col("df") >= min_df)
+    df_t = df_t.withColumn(
+        "n_shards", F.expr(f"(df + {int(shard_size)} - 1) div {int(shard_size)}")
+    )
+    sharded = pairs.join(df_t, "term").withColumn(
+        "shard", F.pmod(F.col("id"), F.col("n_shards")).cast("long")
+    )
+    return (
+        sharded.groupBy("term", "shard", "n_shards", "df")
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+        .select("term", "shard", "n_shards", "df", "postings")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

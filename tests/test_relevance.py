@@ -204,6 +204,68 @@ def test_keywords_bad_args(docs):
         relevance.tfidf_keywords(docs, k=3, scale=2**60)
 
 
+def _py_index(corpus, shard_size, min_df=1, max_df_ratio=1.0):
+    toks = {i: ([] if t is None else t.split(" ")) for i, t in corpus}
+    n = len(toks)
+    post = {}
+    for i, w in toks.items():
+        for t in set(w):
+            post.setdefault(t, []).append(i)
+    out = {}
+    for t, ids in post.items():
+        df = len(ids)
+        if df < min_df or df > int(max_df_ratio * n):
+            continue
+        k = -(-df // shard_size)
+        for i in ids:
+            out.setdefault((t, i % k, k, df), []).append(i)
+    return {key: sorted(v) for key, v in out.items()}
+
+
+def test_inverted_index_matches_python_model(docs):
+    got = {
+        (r["term"], r["shard"], r["n_shards"], r["df"]): r["postings"]
+        for r in relevance.inverted_index(docs, shard_size=2).collect()
+    }
+    assert got == _py_index(CORPUS, shard_size=2)
+
+
+def test_inverted_index_shards_bound_hot_terms(spark):
+    # a stopword in every doc: no shard's posting list may exceed the
+    # dense-id balance bound ceil(df / n_shards)
+    rows = [(i, "stop word" + (" rare" if i == 7 else "")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = relevance.inverted_index(df, shard_size=8).collect()
+    for r in out:
+        bound = -(-r["df"] // r["n_shards"])
+        assert len(r["postings"]) <= bound, (r["term"], r["shard"])
+    stop = sorted(
+        i for r in out if r["term"] == "stop" for i in r["postings"]
+    )
+    assert stop == list(range(100))  # disjoint shards, full coverage
+    assert {r["n_shards"] for r in out if r["term"] == "stop"} == {13}
+
+
+def test_inverted_index_df_filters(docs):
+    out = relevance.inverted_index(
+        docs, shard_size=100, min_df=2, max_df_ratio=0.3
+    ).collect()
+    want = _py_index(CORPUS, shard_size=100, min_df=2, max_df_ratio=0.3)
+    got = {
+        (r["term"], r["shard"], r["n_shards"], r["df"]): r["postings"]
+        for r in out
+    }
+    assert got == want
+    assert all(2 <= key[3] <= 2 for key in got)  # 0.3*7 -> max_df 2
+
+
+def test_inverted_index_bad_args(docs):
+    with pytest.raises(ValueError):
+        relevance.inverted_index(docs, shard_size=0)
+    with pytest.raises(ValueError):
+        relevance.inverted_index(docs, min_df=0)
+
+
 def test_fp_overflow_contract(spark):
     big = spark.createDataFrame([(0, "x " * 10)], "doc_id long, text string")
     with pytest.raises(ValueError, match="overflow"):
