@@ -998,6 +998,55 @@ def q_bpe(spark, sf_dir):
     return rules.unionByName(docs)
 
 
+_COLLOC_MIN_COUNT = 5
+_COLLOC_K = 100
+_COLLOC_SCALE = 10**6
+
+
+def q_collocations(spark, sf_dir):
+    """Top-100 collocations by fixed-point PMI over the corpus bigram
+    table (operators/tokenstats.py collocations, Church & Hanks 1990).
+    ONE data-touching job — the packed-bigram mapInPandas fold, shuffle
+    bounded by the bigram DOMAIN — then marginals, candidate filter,
+    scoring joins, and TakeOrdered all on bounded tables. Integer
+    fixed-point ratio (log is monotone), ties pinned, DuckDB-exact."""
+    from logparser_spark.operators import tokenstats
+
+    return tokenstats.collocations(
+        tokenized_events(spark, sf_dir),
+        min_count=_COLLOC_MIN_COUNT,
+        k=_COLLOC_K,
+        scale=_COLLOC_SCALE,
+    )
+
+
+def _collocations_oracle() -> str:
+    return (
+        _token_lines_cte()
+        + f""",
+chars AS (
+  SELECT doc_id, unicode(substr(line, CAST(i AS INT), 1)) AS c, i
+  FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i FROM lines)
+),
+big AS (
+  SELECT x.c AS a, y.c AS b
+  FROM chars x JOIN chars y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+),
+tb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM big GROUP BY 1, 2),
+tot AS (SELECT SUM(cab) AS n FROM tb),
+la AS (SELECT a, SUM(cab) AS ca FROM tb GROUP BY 1),
+rb AS (SELECT b, SUM(cab) AS cb FROM tb GROUP BY 1)
+SELECT t.a, t.b, t.cab,
+       CAST(la.ca AS BIGINT) AS ca, CAST(rb.cb AS BIGINT) AS cb,
+       CAST(({_COLLOC_SCALE} * tot.n * t.cab) // (la.ca * rb.cb) AS BIGINT)
+         AS pmi_fp
+FROM tb t JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+WHERE t.cab >= {_COLLOC_MIN_COUNT}
+ORDER BY pmi_fp DESC, t.a, t.b
+LIMIT {_COLLOC_K}"""
+    )
+
+
 def _lm_score_oracle() -> str:
     return (
         _token_lines_cte()
@@ -1430,6 +1479,7 @@ SELECT username, event_id, epoch_us FROM (
     "token_histogram": _token_histogram_oracle(),
     "rarity": _rarity_oracle(),
     "lm_score": _lm_score_oracle(),
+    "collocations": _collocations_oracle(),
     "redact": _redact_oracle(),
     "shards": _shards_oracle(),
 }
@@ -1465,6 +1515,7 @@ PIPELINE_QUERIES = {
     "token_histogram": q_token_histogram,
     "rarity": q_rarity,
     "lm_score": q_lm_score,
+    "collocations": q_collocations,
     "bpe": q_bpe,
     "redact": q_redact,
     "shards": q_shards,

@@ -844,3 +844,89 @@ def approx_quantiles(
     return agg.select(*group_cols, F.explode(pairs).alias("p")).select(
         *group_cols, F.col("p.q_num").alias("q_num"), F.col("p.q_x1000").alias("q_x1000")
     )
+
+
+def collocations(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+    k: int = 100,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top-k collocations (statistically-bound token pairs) by
+    pointwise mutual information over corpus bigrams — the classic
+    collocation miner (Church & Hanks 1990, "Word Association Norms,
+    Mutual Information, and Lexicography").
+
+    PMI is computed with BIGRAM-POSITION marginals so one table feeds
+    everything: ``pmi = log(N * c(ab) / (c_left(a) * c_right(b)))``
+    where N = total bigram positions, c_left/c_right = how often a
+    token opens/closes a bigram. Reported as the integer fixed-point
+    ratio ``pmi_fp = (scale * N * c(ab)) div (c_left(a) * c_right(b))``
+    — log is monotone, so ranking/thresholding pmi_fp IS ranking by
+    PMI, and the integer form is cross-engine exact (the
+    ``lm_score``/``bm25_score_fp`` convention). ``min_count`` drops
+    rare pairs (PMI's well-known low-count instability); ties pinned
+    (pmi_fp desc, a asc, b asc).
+
+    Scale plan: ONE data-touching job — the packed-bigram mapInPandas
+    fold (``lmscore._bigram_partials``: each Arrow batch collapses to
+    a partial histogram, shuffle bounded by the observed bigram
+    DOMAIN, never corpus size). The bigram table is persisted
+    (domain-bounded) and everything downstream — both marginals, N,
+    the candidate filter, the scoring joins (AQE-broadcast), and the
+    TakeOrdered top-k — runs on bounded tables.
+
+    Overflow contract (loud): ``scale * N * max c(ab)`` must fit
+    int64; lower ``scale`` as the corpus grows — resolution needs only
+    scale >> 1.
+    """
+    if min_count < 1 or k <= 0 or scale <= 0:
+        raise ValueError(
+            "collocations: min_count >= 1, k > 0, scale > 0 required"
+        )
+    from logparser_spark.operators.lmscore import _bigram_partials
+    from logparser_spark.operators.util import track_persist
+
+    big = (
+        df.select(tokens_col)
+        .mapInPandas(_bigram_partials(tokens_col), "code long, c long")
+        .groupBy("code")
+        .agg(F.sum("c").alias("cab"))
+        .select(
+            F.shiftright("code", 32).alias("a"),
+            F.col("code").bitwiseAND(F.lit((1 << 32) - 1)).alias("b"),
+            "cab",
+        )
+    )
+    big = track_persist(big)
+    tot = big.agg(
+        F.coalesce(F.sum("cab"), F.lit(0)).alias("n"),
+        F.coalesce(F.max("cab"), F.lit(0)).alias("max_cab"),
+    ).first()
+    n_big, max_cab = int(tot["n"]), int(tot["max_cab"])
+    if scale * n_big * max(max_cab, 1) >= 2**63:
+        raise ValueError(
+            "collocations: scale * N * max bigram count overflows int64 — "
+            "lower scale"
+        )
+    la = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    rb = big.groupBy("b").agg(F.sum("cab").alias("cb"))
+    return (
+        big.where(F.col("cab") >= int(min_count))
+        .join(la, "a")
+        .join(rb, "b")
+        .select(
+            "a",
+            "b",
+            "cab",
+            "ca",
+            "cb",
+            # one pre-multiplied literal: two small INT literals would
+            # int32-overflow in constant folding before ever meeting
+            # the BIGINT column under ANSI mode
+            F.expr(f"({scale * n_big} * cab) div (ca * cb)").alias("pmi_fp"),
+        )
+        .orderBy(F.col("pmi_fp").desc(), "a", "b")
+        .limit(int(k))
+    )

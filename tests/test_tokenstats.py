@@ -409,3 +409,74 @@ def test_report_rewrite_witness_agrees_with_materialization(spark):
         ).hexdigest()
         assert rep[i]["kept_hash"] == want_hash, i
         assert rep[i]["n_kept"] == len(clean), i
+
+
+# ---------------------------------------------------------------------
+# collocations (PMI)
+# ---------------------------------------------------------------------
+
+
+def _py_collocations(token_lists, min_count, k, scale=10**6):
+    from collections import Counter
+
+    cab = Counter()
+    for toks in token_lists:
+        if toks is None:
+            continue
+        for x, y in zip(toks, toks[1:]):
+            cab[(x, y)] += 1
+    n = sum(cab.values())
+    ca = Counter()
+    cb = Counter()
+    for (x, y), c in cab.items():
+        ca[x] += c
+        cb[y] += c
+    rows = [
+        (x, y, c, ca[x], cb[y], (scale * n * c) // (ca[x] * cb[y]))
+        for (x, y), c in cab.items()
+        if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:k]
+
+
+def test_collocations_match_python_model(spark):
+    import random
+
+    rng = random.Random(7)
+    data = []
+    for i in range(200):
+        toks = [rng.randrange(20) for _ in range(rng.randrange(0, 30))]
+        # plant a strong collocation: 13 is almost always followed by 17
+        out = []
+        for t in toks:
+            out.append(t)
+            if t == 13 and rng.random() < 0.9:
+                out.append(17)
+        data.append((i, out))
+    data.append((998, None))
+    data.append((999, []))
+    df = spark.createDataFrame(data, "doc_id long, tokens array<int>")
+
+    from logparser_spark.operators.tokenstats import collocations
+
+    got = [tuple(r) for r in collocations(df, min_count=3, k=25).collect()]
+    want = _py_collocations([t for _, t in data], min_count=3, k=25)
+    assert got == want
+    # the planted pair ranks above its unplanted shadow pairs
+    planted = [r for r in got if (r[0], r[1]) == (13, 17)]
+    assert planted, "planted collocation must clear min_count and top-k"
+
+
+def test_collocations_min_count_and_overflow(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2, 1, 2, 1, 2, 3])], "doc_id long, tokens array<int>"
+    )
+    from logparser_spark.operators.tokenstats import collocations
+
+    rows = collocations(df, min_count=3, k=10).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 2)]
+    with pytest.raises(ValueError, match="overflow"):
+        collocations(df, min_count=1, k=10, scale=2**61)
+    with pytest.raises(ValueError):
+        collocations(df, min_count=0)
