@@ -582,6 +582,40 @@ SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, score_fp
 FROM r WHERE rnk <= {_KW_K}"""
 
 
+_CONTAIN_THR = 0.7
+
+
+def q_containment(spark, sf_dir):
+    """One-sided near-dup pairs by n-gram CONTAINMENT (Broder 1997:
+    |sh(A) ∩ sh(B)| / |sh(A)|) — catches quotes/excerpts/boilerplate-
+    wrapped copies that symmetric Jaccard misses on asymmetric lengths
+    (operators/dedup.py containment_pairs; shares the pair-overlap
+    core, and therefore the verify-prune and AQE posture, with the
+    Jaccard baseline). All-pairs here (test scale, guard active); at
+    corpus scale restrict with cand= (MinHash candidates or posting-
+    list co-occurrence from relevance.inverted_index)."""
+    from logparser_spark.operators import dedup
+
+    return dedup.containment_pairs(
+        documents(spark, sf_dir), threshold=_CONTAIN_THR
+    )
+
+
+def _containment_oracle() -> str:
+    return (
+        _SHINGLE_CTE
+        + f"""
+SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(floor(1000.0 * i.inter / sa.n_sh) AS BIGINT) AS cont_a_in_b_x1000,
+       CAST(floor(1000.0 * i.inter / sb.n_sh) AS BIGINT) AS cont_b_in_a_x1000
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE 1.0 * i.inter / sa.n_sh >= {_CONTAIN_THR}
+   OR 1.0 * i.inter / sb.n_sh >= {_CONTAIN_THR}"""
+    )
+
+
 _POSTINGS_SHARD = 64
 
 
@@ -677,6 +711,7 @@ DOC_QUERIES = {
     "bm25": q_bm25,
     "keywords": q_keywords,
     "postings": q_postings,
+    "containment": q_containment,
 }
 
 # ---------------------------------------------------------------------
@@ -744,6 +779,7 @@ DOC_ORACLES: dict[str, str] = {
     "bm25": _bm25_oracle(),
     "keywords": _keywords_oracle(),
     "postings": _postings_oracle(),
+    "containment": _containment_oracle(),
     "mix_sample": _mix_sample_oracle(),
     "curation": _curation_oracle(),
     "cleaning": _cleaning_oracle(),

@@ -94,10 +94,27 @@ def _exact_jaccard_pairs(
     """Exact n-gram Jaccard >= threshold (doc_a < doc_b): all pairs
     when ``cand`` is None, else restricted to the candidate (doc_a,
     doc_b) pairs. Shared by the brute baseline and the LSH verify so
-    the math/tie-break lives once. Join strategy is left to AQE:
-    runtime stats convert to broadcast joins when a side is small (an
-    explicit broadcast() of the candidate subplan measured SLOWER — it
-    forces an eager blocking materialization — and would be wrong on
+    the math/tie-break lives once."""
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        _pair_overlap(docs, cand)
+        .withColumn("jaccard_x1000", F.floor(F.lit(1000.0) * F.col("inter") / union_sz))
+        .filter(F.col("inter") / union_sz >= F.lit(threshold))
+        # no global sort: output is a pair *set* (downstream compares
+        # are order-insensitive; a range-partitioned sort would add a
+        # sampling job + full shuffle for nothing)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000")
+    )
+
+
+def _pair_overlap(docs: DataFrame, cand: DataFrame | None) -> DataFrame:
+    """Shared pair-overlap core for the exact Jaccard and containment
+    measures: (doc_a < doc_b, inter, n_a, n_b) over distinct word
+    n-gram shingles — all pairs when ``cand`` is None, else restricted
+    to the candidate pairs. Join strategy is left to AQE: runtime
+    stats convert to broadcast joins when a side is small (an explicit
+    broadcast() of the candidate subplan measured SLOWER — it forces
+    an eager blocking materialization — and would be wrong on
     dup-heavy corpora where candidates aren't small)."""
     if cand is not None:
         # Verify-path prune: shingling + explode only the docs that
@@ -133,22 +150,12 @@ def _exact_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
     # no broadcast hint on sa/sb: in the verify path they are sized by
     # the CANDIDATE doc set, which on a dup-heavy corpus is unbounded —
     # the same reasoning the docstring gives for the candidate subplan.
     # AQE converts these to broadcast joins at runtime when the size
     # stats actually allow it.
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard_x1000", F.floor(F.lit(1000.0) * F.col("inter") / union_sz))
-        .filter(F.col("inter") / union_sz >= F.lit(threshold))
-        # no global sort: output is a pair *set* (downstream compares
-        # are order-insensitive; a range-partitioned sort would add a
-        # sampling job + full shuffle for nothing)
-        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard_x1000")
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 class QuadraticPlanRefused(ValueError):
@@ -182,6 +189,61 @@ def ngram_jaccard_pairs(
             f"{JACCARD_THRESHOLD}) or pass guard_rows=None to override"
         )
     return _exact_jaccard_pairs(docs, threshold, cand=None)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    guard_rows: int | None = NGRAM_GUARD_ROWS,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """N-gram CONTAINMENT pairs — the one-sided near-dup measure
+    (Broder 1997's containment, "On the resemblance and containment of
+    documents"): ``c(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|``. Catches
+    quotes, excerpts, and boilerplate-wrapped copies that symmetric
+    Jaccard misses when lengths are asymmetric (a 50-word quote inside
+    a 5000-word page has j ~ 0.01 but containment ~ 1.0).
+
+    Output: undirected pair rows (doc_a < doc_b) carrying BOTH
+    directional scores, kept when either direction clears
+    ``threshold``: (doc_a, doc_b, inter, n_a, n_b, cont_a_in_b_x1000,
+    cont_b_in_a_x1000). Docs with no shingles (< n words) can't
+    intersect and never appear.
+
+    Same scale posture as ``ngram_jaccard_pairs``: the all-pairs
+    shingle self-join is the quadratic correctness baseline, refused
+    above ``guard_rows``; at corpus scale restrict it with ``cand``
+    (MinHash candidates when the target is also Jaccard-high, or
+    posting-list co-occurrence from ``relevance.inverted_index`` for
+    true asymmetric containment search).
+    """
+    if (
+        cand is None
+        and guard_rows is not None
+        and docs.limit(guard_rows + 1).count() > guard_rows
+    ):
+        # the guard targets the all-pairs self-join; a cand-restricted
+        # plan is candidate-sized, not quadratic, so it passes freely
+        raise QuadraticPlanRefused(
+            f"containment_pairs is the O(n²) all-pairs baseline and was "
+            f"given more than {guard_rows:,} documents; restrict with "
+            f"cand= or pass guard_rows=None to override"
+        )
+    ov = _pair_overlap(docs, cand)
+    ca = F.floor(F.lit(1000.0) * F.col("inter") / F.col("n_a"))
+    cb = F.floor(F.lit(1000.0) * F.col("inter") / F.col("n_b"))
+    return (
+        ov.withColumn("cont_a_in_b_x1000", ca.cast("long"))
+        .withColumn("cont_b_in_a_x1000", cb.cast("long"))
+        .filter(
+            (F.col("inter") / F.col("n_a") >= F.lit(threshold))
+            | (F.col("inter") / F.col("n_b") >= F.lit(threshold))
+        )
+        .select(
+            "doc_a", "doc_b", "inter", "n_a", "n_b",
+            "cont_a_in_b_x1000", "cont_b_in_a_x1000",
+        )
+    )
 
 
 def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:

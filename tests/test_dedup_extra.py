@@ -410,3 +410,83 @@ def test_near_dedup_incremental_disjoint_corpora_all_survive(spark):
         "doc_id long, text string",
     )
     assert near_dedup_incremental(new, corpus).count() == 20
+
+
+# ---------------------------------------------------------------------
+# containment (one-sided near-dup)
+# ---------------------------------------------------------------------
+
+
+def _py_containment(corpus, threshold, n=3):
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    s = {i: sh(t) for i, t in corpus}
+    out = []
+    for i, a in s.items():
+        for j, b in s.items():
+            if i >= j or not a or not b:
+                continue
+            inter = len(a & b)
+            ca, cb = inter / len(a), inter / len(b)
+            if ca >= threshold or cb >= threshold:
+                out.append(
+                    (
+                        i,
+                        j,
+                        inter,
+                        len(a),
+                        len(b),
+                        int(1000 * inter // len(a)),
+                        int(1000 * inter // len(b)),
+                    )
+                )
+    return sorted(out)
+
+
+def test_containment_matches_python_model(spark):
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    corpus = [
+        (0, quote),
+        (1, filler + " " + quote + " " + filler),  # quote embedded
+        (2, filler),
+        (3, "completely different text entirely here now"),
+        (4, quote),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    from logparser_spark.operators.dedup import containment_pairs
+
+    got = sorted(tuple(r) for r in containment_pairs(df, threshold=0.7).collect())
+    want = _py_containment(corpus, 0.7)
+    assert got == want
+    # the embedded quote is found (0 in 1) even though jaccard is tiny
+    assert any(r[0] == 0 and r[1] == 1 for r in got)
+    ab = {(r[0], r[1]): r for r in got}
+    assert ab[(0, 1)][5] == 1000  # quote fully contained in the page
+    assert ab[(0, 1)][6] < 700    # but the page is NOT contained in the quote
+    from logparser_spark.operators.dedup import ngram_jaccard_pairs
+
+    j = ngram_jaccard_pairs(df, threshold=0.7).collect()
+    assert not any(
+        {r["doc_a"], r["doc_b"]} == {0, 1} for r in j
+    ), "jaccard at 0.7 must miss the asymmetric pair containment catches"
+
+
+def test_containment_guard_refuses_quadratic(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(30)], "doc_id long, text string"
+    )
+    from logparser_spark.operators.dedup import QuadraticPlanRefused, containment_pairs
+
+    with pytest.raises(QuadraticPlanRefused):
+        containment_pairs(df, guard_rows=10)
+    # cand-restricted path is candidate-sized, not quadratic: it runs
+    # under the same guard and evaluates only the listed pair
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    rows = containment_pairs(
+        df, threshold=0.5, guard_rows=10, cand=cand
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["cont_a_in_b_x1000"] == 1000  # identical texts
