@@ -998,6 +998,66 @@ def q_bpe(spark, sf_dir):
     return rules.unionByName(docs)
 
 
+_ALERT_THRESHOLD = 10
+
+
+def q_stream_alerts(spark, sf_dir):
+    """Streaming heavy-hitter threshold alerts
+    (streaming/stateful.py streaming_heavy_hitters, Metwally et al.
+    2005 space-saving): the parse->route lineage over ``readStream``,
+    then a custom stateful operator that alerts ONCE per (category,
+    url) the first micro-batch its count reaches the threshold —
+    the streaming rate/abuse monitor. Run exact (capacity >> distinct
+    urls), so the emitted set is batch-invariant and equals the batch
+    SQL "HAVING COUNT(*) >= t" oracle; the sub-capacity sketch mode
+    (no false negatives, bounded over-alerts) is pytest-pinned."""
+    from logparser_spark.streaming.stateful import streaming_heavy_hitters
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    routed = derive_routed(raw).filter(
+        (F.col("valid") == 1)
+        & F.col("url").isNotNull()
+        & (F.col("url") != "-")
+    )
+    alerts = streaming_heavy_hitters(
+        routed,
+        threshold=_ALERT_THRESHOLD,
+        capacity=1 << 20,
+        group_col="category",
+        item_col="url",
+    )
+    name = "stream_alerts_result"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("group").alias("category"), F.col("item").alias("url"))
+        .orderBy("category", "url")
+    )
+
+
+def _stream_alerts_oracle() -> str:
+    return (
+        _cte()
+        + f"""
+SELECT category, url FROM parsed
+WHERE valid AND url IS NOT NULL AND url <> '-'
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_ALERT_THRESHOLD}"""
+    )
+
+
 _COLLOC_MIN_COUNT = 5
 _COLLOC_K = 100
 _COLLOC_SCALE = 10**6
@@ -1480,6 +1540,7 @@ SELECT username, event_id, epoch_us FROM (
     "rarity": _rarity_oracle(),
     "lm_score": _lm_score_oracle(),
     "collocations": _collocations_oracle(),
+    "stream_alerts": _stream_alerts_oracle(),
     "redact": _redact_oracle(),
     "shards": _shards_oracle(),
 }
@@ -1516,6 +1577,7 @@ PIPELINE_QUERIES = {
     "rarity": q_rarity,
     "lm_score": q_lm_score,
     "collocations": q_collocations,
+    "stream_alerts": q_stream_alerts,
     "bpe": q_bpe,
     "redact": q_redact,
     "shards": q_shards,

@@ -112,3 +112,100 @@ def start_dedup_sink(deduped: DataFrame, out_root: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# streaming heavy hitters (batched space-saving + threshold alerts)
+# ---------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "group string, item string"
+HH_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, emitted array<string>"
+)
+
+
+def _heavy_hitters_fn(threshold: int, capacity: int):
+    """Per-group state fn: maintain space-saving counters (Metwally et
+    al. 2005, "Efficient computation of frequent and top-k elements in
+    data streams") across micro-batches; emit an item ONCE, the first
+    batch its estimated count reaches ``threshold``.
+
+    Append-safety is the design constraint (the same one
+    ``_dedup_fn`` solves): the emitted row set must not depend on how
+    the stream was micro-batched. With ``capacity`` >= distinct items
+    per group there are no evictions, estimates are exact, and the
+    alert set == {items whose TOTAL count >= threshold} regardless of
+    batching — the DuckDB-oracle mode. Below that, space-saving's
+    one-sided guarantee (estimate >= true, min counter monotone over
+    evictions) still means no false negatives: every truly-heavy item
+    alerts; over-estimates can add alerts (bounded by the sketch
+    error N/capacity — pytest-pinned). The ``emitted`` set makes the
+    once-only contract survive evict/re-insert cycles."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            items, counts, emitted_l = state.get
+            counters = dict(zip(items, counts))
+            emitted = set(emitted_l)
+        else:
+            counters, emitted = {}, set()
+        batch = pd.concat([pdf["item"] for pdf in pdfs])
+        vc = batch.value_counts()
+        # deterministic insertion order (count desc, item asc): with
+        # evictions the result depends on order, pin it
+        for item, cnt in sorted(vc.items(), key=lambda kv: (-kv[1], kv[0])):
+            cnt = int(cnt)
+            if item in counters:
+                counters[item] += cnt
+            elif len(counters) < capacity:
+                counters[item] = cnt
+            else:
+                evict = min(counters, key=lambda i: (counters[i], i))
+                counters[item] = counters.pop(evict) + cnt
+        fresh = sorted(
+            i
+            for i, c in counters.items()
+            if c >= threshold and i not in emitted
+        )
+        emitted |= set(fresh)
+        ks = list(counters)
+        state.update((ks, [counters[i] for i in ks], sorted(emitted)))
+        if fresh:
+            yield pd.DataFrame({"group": key[0], "item": fresh})
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    threshold: int,
+    capacity: int = 1 << 20,
+    group_col: str = "group",
+    item_col: str = "item",
+) -> DataFrame:
+    """Stream of (group, item) -> append-mode stream of threshold
+    alerts: one row per (group, item) the first time the item's
+    (space-saving-estimated) count within its group reaches
+    ``threshold`` — the streaming rate/abuse monitor ("alert when any
+    URL crosses N hits").
+
+    State per group is O(capacity + alerts), never O(distinct items);
+    groups partition the state store uniformly. Exact (and therefore
+    batch-oracle-equal) when capacity >= distinct items per group;
+    below that a bounded-error sketch with no false negatives (see
+    ``_heavy_hitters_fn``)."""
+    if threshold < 1 or capacity < 1:
+        raise ValueError(
+            "streaming_heavy_hitters: threshold >= 1 and capacity >= 1"
+        )
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(item_col).cast("string").alias("item"),
+    ).where(F.col("item").isNotNull())
+    return keyed.groupBy("group").applyInPandasWithState(
+        _heavy_hitters_fn(int(threshold), int(capacity)),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -135,3 +135,106 @@ def test_dedup_tolerates_null_doc_id(spark, dirs):
     assert got[h["dup text"]] == 7
     assert got[h["clean"]] == 3
     assert len(got) == 2  # the null-only hash emitted nothing
+
+
+# ---------------------------------------------------------------------
+# streaming heavy hitters
+# ---------------------------------------------------------------------
+
+PAIR_SCHEMA = "g string, it string"
+
+
+def _write_pairs(spark, path, rows):
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "it"]), PAIR_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain_hh(spark, src, out, threshold, capacity, max_files=None):
+    from logparser_spark.streaming.stateful import streaming_heavy_hitters
+
+    reader = spark.readStream.schema(PAIR_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(src)
+    alerts = streaming_heavy_hitters(
+        stream, threshold=threshold, capacity=capacity,
+        group_col="g", item_col="it",
+    )
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", os.path.join(out, "alerts"))
+        .option("checkpointLocation", os.path.join(out, "_hh_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.group, r.item)
+        for r in spark.read.parquet(os.path.join(out, "alerts")).collect()
+    }
+
+
+def _rows(counts):
+    out = []
+    for (g, it), c in counts.items():
+        out += [(g, it)] * c
+    return out
+
+
+def test_heavy_hitters_exact_equals_batch_threshold(spark, dirs):
+    src, out = dirs
+    counts = {
+        ("a", "x"): 7, ("a", "y"): 3, ("a", "z"): 1,
+        ("b", "x"): 2, ("b", "w"): 5,
+    }
+    _write_pairs(spark, src, _rows(counts))
+    got = _drain_hh(spark, src, out, threshold=5, capacity=1 << 16)
+    assert got == {("a", "x"), ("b", "w")}
+
+
+def test_heavy_hitters_batching_invariance_and_cross_batch_sum(spark, dirs):
+    src, out = dirs
+    # 4 appends of 3 each: "x" never crosses within one batch, only
+    # across state — and maxFilesPerTrigger=1 forces 4 micro-batches
+    for _ in range(4):
+        _write_pairs(spark, src, [("a", "x")] * 3 + [("a", "noise")])
+    got = _drain_hh(spark, src, out, threshold=10, capacity=1 << 16, max_files=1)
+    assert got == {("a", "x")}
+
+
+def test_heavy_hitters_restart_emits_once(spark, dirs):
+    src, out = dirs
+    _write_pairs(spark, src, [("a", "x")] * 6)
+    got1 = _drain_hh(spark, src, out, threshold=5, capacity=1 << 16)
+    assert got1 == {("a", "x")}
+    # restart with the same checkpoint: more x rows must NOT re-alert,
+    # a fresh crosser must
+    _write_pairs(spark, src, [("a", "x")] * 6 + [("a", "y")] * 5)
+    got2 = _drain_hh(spark, src, out, threshold=5, capacity=1 << 16)
+    assert got2 == {("a", "x"), ("a", "y")}
+
+
+def test_heavy_hitters_sketch_no_false_negatives(spark, dirs):
+    import random
+
+    src, out = dirs
+    rng = random.Random(3)
+    rows = []
+    true = {}
+    for i in range(40):
+        it = f"i{i}"
+        c = 30 if i < 3 else rng.randrange(1, 4)
+        true[it] = c
+        rows += [("g", it)] * c
+    rng.shuffle(rows)
+    _write_pairs(spark, src, rows)
+    got = _drain_hh(spark, src, out, threshold=25, capacity=8)
+    heavy = {("g", it) for it, c in true.items() if c >= 25}
+    assert heavy <= got, "space-saving must never miss a true heavy item"
+    # over-alerts are bounded by the sketch's N/capacity error
+    n = sum(true.values())
+    assert all(
+        true[it] + n / 8 >= 25 for _, it in got
+    ), "every alert must be within the documented over-estimate bound"
