@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "postings",
     "collocations",
     "containment",
+    "novelty",
 ]
 
 
@@ -124,7 +125,7 @@ BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
 # the clustering chain ~+8 s, token_budget ~+1 s, near_dedup_incr ~+10 s).
 # elapsed/expected = the harness contention factor used to scale the
 # pipeline-block estimate.
-_HEADLINE_EXPECTED_SEC = 139.0
+_HEADLINE_EXPECTED_SEC = 142.0
 # Local costs of the pipeline block pieces (measured): 10M-row fixture
 # generation ~110 s (fixtures_cache/ is gitignored, so the driver
 # always regenerates), warmup pass ~35 s, timed trial ~30 s.

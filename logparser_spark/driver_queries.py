@@ -998,6 +998,44 @@ def q_bpe(spark, sf_dir):
     return rules.unionByName(docs)
 
 
+_NOVELTY_SHARDS = 10
+
+
+def q_novelty(spark, sf_dir):
+    """K-gram novelty (diminishing-returns) curve per ingest shard
+    (operators/tokenstats.py novelty_curve): how many never-seen k-token
+    windows each ordered corpus slice contributes — the dedup-aware
+    dataset-sizing diagnostic. One uniform window-hash groupBy carrying
+    only min(shard); token payloads cross zero shuffles; output is
+    n_shards rows. Same k as dup_span_report (shared kernel)."""
+    return tokenstats.novelty_curve(
+        tokenized_events(spark, sf_dir), k=_DUP_K, n_shards=_NOVELTY_SHARDS
+    )
+
+
+def _novelty_oracle() -> str:
+    n = _NOVELTY_SHARDS
+    return (
+        _token_wins_cte(_DUP_K)
+        + f""",
+mx AS (SELECT MAX(doc_id) AS m FROM lines),
+sw AS (
+  SELECT CAST(LEAST({n - 1}, doc_id * {n} // (mx.m + 1)) AS BIGINT) AS shard, w
+  FROM wins CROSS JOIN mx
+),
+ps AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_positions FROM sw GROUP BY 1),
+fs AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS new_windows
+  FROM (SELECT w, MIN(shard) AS shard FROM sw GROUP BY 1) GROUP BY 1
+)
+SELECT p.shard, p.n_positions,
+       CAST(COALESCE(f.new_windows, 0) AS BIGINT) AS new_windows,
+       CAST(SUM(COALESCE(f.new_windows, 0))
+            OVER (ORDER BY p.shard) AS BIGINT) AS cum_new_windows
+FROM ps p LEFT JOIN fs f USING (shard)"""
+    )
+
+
 _ALERT_THRESHOLD = 10
 
 
@@ -1541,6 +1579,7 @@ SELECT username, event_id, epoch_us FROM (
     "lm_score": _lm_score_oracle(),
     "collocations": _collocations_oracle(),
     "stream_alerts": _stream_alerts_oracle(),
+    "novelty": _novelty_oracle(),
     "redact": _redact_oracle(),
     "shards": _shards_oracle(),
 }
@@ -1578,6 +1617,7 @@ PIPELINE_QUERIES = {
     "lm_score": q_lm_score,
     "collocations": q_collocations,
     "stream_alerts": q_stream_alerts,
+    "novelty": q_novelty,
     "bpe": q_bpe,
     "redact": q_redact,
     "shards": q_shards,

@@ -930,3 +930,89 @@ def collocations(
         .orderBy(F.col("pmi_fp").desc(), "a", "b")
         .limit(int(k))
     )
+
+
+def novelty_curve(
+    df: DataFrame,
+    k: int = 20,
+    n_shards: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Diminishing-returns curve of k-gram novelty per ingest shard —
+    "how many NEVER-SEEN-BEFORE k-token windows does each additional
+    slice of the corpus contribute?" (the data-scaling diagnostic
+    behind dedup-aware dataset sizing: when new_windows flattens,
+    more of the same crawl buys little).
+
+    Docs are bucketed into ``n_shards`` ordered ingest shards by id
+    range (``shard = least(n-1, doc_id * n div (max_id + 1))`` —
+    deterministic, cross-engine exact); a window is NOVEL in the first
+    shard (by that order) where it occurs.
+
+    Output: one row per non-empty shard —
+    (shard, n_positions, new_windows, cum_new_windows).
+
+    Scale plan: the rolling-hash map (``with_window_hashes``, same
+    64-bit window stand-in and collision argument as
+    ``dup_span_stats``) -> explode -> ONE uniform groupBy on the
+    window hash (min(shard) + nothing else carried; Zipf-hot windows
+    combine map-side) -> a second groupBy collapsing the distinct-
+    window table to ``n_shards`` rows. Per-shard position counts come
+    off the same persisted exploded frame; the cumulative sum runs on
+    <= n_shards rows. Token payloads cross zero shuffles.
+
+    Overflow contract: ``max_id * n_shards`` must fit int64 (checked);
+    for sparse/huge id domains map ids to dense ordinals first.
+    """
+    if k < 1 or n_shards < 1:
+        raise ValueError("novelty_curve: k >= 1 and n_shards >= 1 required")
+    from logparser_spark.operators.util import track_persist
+
+    bounds = df.agg(F.max(F.col(id_col)).alias("m")).first()
+    max_id = bounds["m"]
+    if max_id is None:
+        raise ValueError("novelty_curve: empty input")
+    max_id = int(max_id)
+    if max_id < 0:
+        raise ValueError("novelty_curve: ids must be non-negative")
+    if max_id * n_shards >= 2**63:
+        raise ValueError(
+            "novelty_curve: max_id * n_shards overflows int64 — map ids "
+            "to dense ordinals first"
+        )
+    shard = F.least(
+        F.lit(int(n_shards) - 1),
+        F.expr(f"CAST({id_col} AS BIGINT) * {int(n_shards)} div {max_id + 1}"),
+    ).cast("long")
+    hashed = with_window_hashes(
+        df.select(F.col(id_col), tokens_col).withColumn("shard", shard), k
+    )
+    pos = track_persist(
+        hashed.select("shard", F.explode("win_hashes").alias("h"))
+    )
+    per_shard = pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_positions")
+    )
+    firsts = (
+        pos.groupBy("h")
+        .agg(F.min("shard").alias("first_shard"))
+        .groupBy("first_shard")
+        .agg(F.count(F.lit(1)).alias("new_windows"))
+        .withColumnRenamed("first_shard", "shard")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_shard.join(firsts, "shard", "left")
+        .select(
+            "shard",
+            "n_positions",
+            F.coalesce("new_windows", F.lit(0)).cast("long").alias("new_windows"),
+        )
+        # <= n_shards rows from here on — the single-partition window
+        # sort is a constant-size driver-side-scale step, not a funnel
+        .withColumn("cum_new_windows", F.sum("new_windows").over(w).cast("long"))
+        .orderBy("shard")
+    )

@@ -480,3 +480,59 @@ def test_collocations_min_count_and_overflow(spark):
         collocations(df, min_count=1, k=10, scale=2**61)
     with pytest.raises(ValueError):
         collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------------------
+# novelty curve
+# ---------------------------------------------------------------------
+
+
+def _py_novelty(rows, k, n_shards):
+    max_id = max(i for i, _ in rows)
+    shard_of = lambda i: min(n_shards - 1, i * n_shards // (max_id + 1))  # noqa: E731
+    pos = {}  # shard -> positions
+    first = {}  # window -> first shard (windows processed in shard order)
+    for i, toks in sorted(rows):
+        s = shard_of(i)
+        for j in range(max(len(toks) - k + 1, 0)):
+            w = tuple(toks[j : j + k])
+            pos[s] = pos.get(s, 0) + 1
+            if w not in first or first[w] > s:
+                first[w] = min(first.get(w, s), s)
+    new = {}
+    for w, s in first.items():
+        new[s] = new.get(s, 0) + 1
+    out, cum = [], 0
+    for s in sorted(pos):
+        cum += new.get(s, 0)
+        out.append((s, pos[s], new.get(s, 0), cum))
+    return out
+
+
+def test_novelty_curve_matches_python_model(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.randrange(6) for _ in range(rng.randrange(0, 15))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    from logparser_spark.operators.tokenstats import novelty_curve
+
+    got = [tuple(r) for r in novelty_curve(df, k=3, n_shards=5).collect()]
+    assert got == _py_novelty(rows, k=3, n_shards=5)
+    # novelty diminishes on a closed vocab: last shard adds fewer new
+    # windows than the first
+    assert got[-1][2] < got[0][2]
+
+
+def test_novelty_curve_guards(spark):
+    from logparser_spark.operators.tokenstats import novelty_curve
+
+    empty = spark.createDataFrame([], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError, match="empty"):
+        novelty_curve(empty, k=3)
+    df = spark.createDataFrame([(0, [1, 2])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError):
+        novelty_curve(df, k=0)
