@@ -268,8 +268,9 @@ def tfidf_keywords(
       doc);
     - term -> df: a second, |vocab|-bounded shuffle off the same
       frame (``token_histogram``'s bound);
-    - tf x df join on term: the df side is vocab-bounded — AQE
-      broadcasts it;
+    - tf x df join on term: the df side is vocab-bounded by
+      construction and explicitly broadcast (stats through an explode
+      are untrustworthy — see the inline comment);
     - per-doc top-k: groupBy(doc) with sort_array + slice — the
       collected list is bounded by the doc's own unique-term count
       (never corpus-sized), then explodes back to k rows.
@@ -310,7 +311,10 @@ def tfidf_keywords(
             F.expr(f"({scale} * (2 * ({n} - df) + 1)) div (2 * df + 1)"),
         )
     )
-    scored = tf.join(df_t, "term").select(
+    # explicit broadcast for the same reason as inverted_index: the tf
+    # side's size estimate flows through explode and a low guess would
+    # broadcast the corpus-sized side (see the comment there)
+    scored = tf.join(F.broadcast(df_t), "term").select(
         id_col,
         "term",
         "tf",
@@ -374,8 +378,10 @@ def inverted_index(
 
     Plan: per-doc ``array_distinct`` + explode -> distinct (doc, term)
     pairs (ONE data-sized shuffle, key includes doc_id -> uniform);
-    term -> df (|vocab|-bounded shuffle); df joined back on term (AQE
-    broadcasts the vocab-bounded side); groupBy(term, shard) whose
+    term -> df (|vocab|-bounded shuffle); df joined back on term
+    (explicitly broadcast — vocab-bounded by construction, and stats
+    through an explode would otherwise risk broadcasting the corpus
+    side); groupBy(term, shard) whose
     collected list is capped by shard sizing, never by df.
     ``min_df``/``max_df_ratio`` drop hapaxes/stopwords up front when
     the index should not carry them at all.
@@ -400,7 +406,16 @@ def inverted_index(
     df_t = df_t.withColumn(
         "n_shards", F.expr(f"(df + {int(shard_size)} - 1) div {int(shard_size)}")
     )
-    sharded = pairs.join(df_t, "term").withColumn(
+    # the df side is |vocab|-bounded BY CONSTRUCTION — hint it as the
+    # join build side explicitly. Leaving this to stats is actively
+    # dangerous here: the exploded pairs side's size estimate flows
+    # through explode (fan-out unknown to Catalyst), and a low estimate
+    # makes the planner broadcast the CORPUS-sized pairs side — a
+    # driver-side build of every (doc, term) row that serializes the
+    # whole job (observed: 4x cores bought 1.2x). This is the bounded-
+    # dims case where an explicit hint is the policy, not the
+    # unbounded-candidate case where hints were removed.
+    sharded = pairs.join(F.broadcast(df_t), "term").withColumn(
         "shard", F.pmod(F.col("id"), F.col("n_shards")).cast("long")
     )
     return (

@@ -9,6 +9,7 @@ heavy dedup operators (the ones whose 100-TB plans the judge audits):
     python scripts/op_scaling.py paragraph [n_docs]   # paragraph dedup + rewrite
     python scripts/op_scaling.py budget    [n_docs]   # token_budget_select
     python scripts/op_scaling.py neardedup [n_docs]   # cross-corpus fuzzy incremental dedup
+    python scripts/op_scaling.py postings  [n_docs]   # skew-sharded inverted index
 
 Protocol (same defenses as bench.py --scaling, because this sandbox
 VM's available CPU drifts with host contention):
@@ -138,6 +139,15 @@ def run_neardedup(docs):
     return dedup.near_dedup_incremental(new, corpus, threshold=0.8)
 
 
+def run_postings(docs):
+    # vocab 5000 over 30-word docs: df ~ n/165 per term, so shard_size
+    # 256 forces multi-shard terms — the skew-sharding path does real
+    # work in both legs
+    from logparser_spark.operators import relevance
+
+    return relevance.inverted_index(docs, shard_size=256)
+
+
 def run_budget(docs):
     from logparser_spark.operators import sampling
 
@@ -152,6 +162,7 @@ OPS = {
     "paragraph": (paragraph_corpus, run_paragraph),
     "budget": (budget_corpus, run_budget),
     "neardedup": (near_dup_corpus, run_neardedup),
+    "postings": (near_dup_corpus, run_postings),
 }
 
 
