@@ -266,6 +266,44 @@ def test_inverted_index_bad_args(docs):
         relevance.inverted_index(docs, min_df=0)
 
 
+def test_df_join_broadcasts_the_vocab_side_not_the_corpus(spark):
+    """Regression pin for the corpus-broadcast mispick: Catalyst's size
+    estimate flows through the explode and once chose to broadcast the
+    (doc, term) PAIRS side of the tf x df join — a driver-side build of
+    the corpus (measured 0.31 scaling efficiency; BENCH.md). The
+    BroadcastExchange subtree must contain the df aggregate, and the
+    explode must NOT sit under the broadcast."""
+    rows = [(i, "a b c d e f g h") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (
+        relevance.inverted_index(df, shard_size=4),
+        relevance.tfidf_keywords(df, k=2),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        # the broadcast subtree is everything indented under the
+        # BroadcastExchange node up to the next sibling at its depth
+        lines = plan.splitlines()
+        start = next(
+            i for i, ln in enumerate(lines) if "BroadcastExchange" in ln
+        )
+        depth = lines[start].index("BroadcastExchange")
+        sub = []
+        for ln in lines[start + 1 :]:
+            body = ln[:depth + 1]
+            if any(c not in " :|+-" for c in body):
+                break
+            sub.append(ln)
+        subtree = "\n".join(sub).lower()
+        # the broadcast side must be the AGGREGATED vocab-bounded df
+        # frame: an aggregate must appear, and it must sit ABOVE the
+        # explode that feeds it (raw exploded pairs under the broadcast
+        # = the bug)
+        assert "hashaggregate" in subtree, subtree
+        if "explode" in subtree:
+            assert subtree.index("hashaggregate") < subtree.index("explode"), subtree
+
+
 def test_fp_overflow_contract(spark):
     big = spark.createDataFrame([(0, "x " * 10)], "doc_id long, text string")
     with pytest.raises(ValueError, match="overflow"):
