@@ -94,6 +94,14 @@ def q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(documents(spark, sf_dir), carry_cols=("lang",))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus composition report (the dataset-card table):
+    doc/token volume, exact-dup rate + tokens reclaimable by hard
+    dedup, quality-gate share — one scan, two map-side-combining
+    groupBys, the text payload never shuffles."""
+    return textstats.corpus_report(documents(spark, sf_dir))
+
+
 def q_near_dedup_incr(spark, sf_dir):
     """Cross-corpus FUZZY incremental dedup (the near-dup analog of
     dedup_exact's 'incr' branch): the corpus is the md5-bucket slice
@@ -686,6 +694,7 @@ SELECT doc_id, lang, n_tokens FROM t WHERE cum <= {_TOKEN_BUDGET}"""
 
 
 DOC_QUERIES = {
+    "corpus_report": q_corpus_report,
     "stratified_sample": q_stratified,
     "mix_sample": q_mix_sample,
     "curation": q_curation,
@@ -775,6 +784,35 @@ WITH m AS (
 """
 
 DOC_ORACLES: dict[str, str] = {
+    # corpus_report: COALESCE(text,'') mirrors the operator's NULL-as-empty
+    # convention; 2*alpha >= n_chars is the division-free quality clause.
+    "corpus_report": r"""
+WITH d AS (
+  SELECT source,
+         md5(COALESCE(text, '')) AS h,
+         len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS ws,
+         CASE WHEN len(string_split(COALESCE(text, ''), ' ')) BETWEEN 10 AND 1000
+                   AND 2 * length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+                       >= length(COALESCE(text, ''))
+                   AND length(COALESCE(text, '')) > 0
+              THEN 1 ELSE 0 END AS hq
+  FROM documents
+),
+g AS (
+  SELECT source, h, COUNT(*) AS cnt, MIN(ws) AS ws, MIN(hq) AS hq
+  FROM d GROUP BY 1, 2
+)
+SELECT source,
+  CAST(SUM(cnt) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_distinct_texts,
+  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_docs,
+  CAST(floor(100.0 * (SUM(cnt) - COUNT(*)) / SUM(cnt)) AS BIGINT) AS dup_rate_x100,
+  CAST(SUM((cnt - 1) * ws) AS BIGINT) AS dup_ws_tokens,
+  CAST(SUM(cnt * ws) AS BIGINT) AS total_ws_tokens,
+  CAST(floor(100.0 * SUM(cnt * ws) / SUM(cnt)) AS BIGINT) AS mean_ws_tokens_x100,
+  CAST(SUM(cnt * hq) AS BIGINT) AS n_hq_docs,
+  CAST(floor(100.0 * SUM(cnt * hq) / SUM(cnt)) AS BIGINT) AS hq_rate_x100
+FROM g GROUP BY source ORDER BY source""",
     "stratified_sample": _stratified_oracle(),
     "bm25": _bm25_oracle(),
     "keywords": _keywords_oracle(),

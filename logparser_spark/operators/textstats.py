@@ -285,3 +285,79 @@ def ngram_vocab(
         .orderBy(F.col("doc_freq").desc(), F.col("shingle"))
         .limit(k)
     )
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", group_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Per-source corpus composition report — the "dataset card" table a
+    training-data pipeline publishes per ingest: document and token
+    volume, exact-duplication rate (docs AND the tokens hard dedup would
+    reclaim), and quality-gate share, one row per ``group_cols`` value.
+    The batch analog of the reference's precomputed statistics tables
+    (SURVEY §2.7 C2, ``service/LogFileParser.java`` stats pass), widened
+    to the corpus-curation axes.
+
+    Scale plan (100 TB): one scan computes every per-doc feature in the
+    projection (md5 content hash, whitespace token count, quality gate —
+    all Catalyst expressions, no Python); aggregation is two map-side-
+    combining groupBys. Shuffle 1 keys on (group, md5) — uniform by
+    construction, a billion-duplicate page pre-aggregates to one partial
+    per map task, and only ~50-byte partials travel (the text payload
+    never moves). Shuffle 2 is bounded by the distinct-text count, its
+    output by the group cardinality. No windows, no joins, no collect.
+
+    Integer/fixed-point outputs (x100 ratios) for engine portability.
+    The quality clause ``2*alpha_chars >= n_chars`` is the
+    division-free equivalent of ``quality_gate_expr``'s
+    ``floor(100*alpha/n_chars) >= 50`` (for n_chars > 0, which the
+    clause requires explicitly — empty text is never high-quality).
+    NULL text is treated as empty (one content group), matching the
+    COALESCE in the DuckDB oracle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    hq = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (alpha * 2 >= n_chars)
+        & (n_chars > 0)
+    ).cast("long")
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    g = list(group_cols)
+    per_text = (
+        df.select(*g, F.md5(t).alias("h"), ws.alias("ws"), hq.alias("hq"))
+        .groupBy(*g, "h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # identical text => identical ws/hq; MIN is the associative
+            # way to carry one representative through the combine
+            F.min("ws").alias("ws"),
+            F.min("hq").alias("hq"),
+        )
+    )
+    n_docs = F.sum("cnt")
+    n_distinct = F.count(F.lit(1))
+    return (
+        per_text.groupBy(*g)
+        .agg(
+            n_docs.alias("n_docs"),
+            n_distinct.alias("n_distinct_texts"),
+            (n_docs - n_distinct).alias("n_dup_docs"),
+            F.floor(100.0 * (n_docs - n_distinct) / n_docs)
+            .cast("long")
+            .alias("dup_rate_x100"),
+            F.sum((F.col("cnt") - 1) * F.col("ws")).alias("dup_ws_tokens"),
+            F.sum(F.col("cnt") * F.col("ws")).alias("total_ws_tokens"),
+            F.floor(100.0 * F.sum(F.col("cnt") * F.col("ws")) / n_docs)
+            .cast("long")
+            .alias("mean_ws_tokens_x100"),
+            F.sum(F.col("cnt") * F.col("hq")).alias("n_hq_docs"),
+            F.floor(100.0 * F.sum(F.col("cnt") * F.col("hq")) / n_docs)
+            .cast("long")
+            .alias("hq_rate_x100"),
+        )
+        .orderBy(*g)
+    )
